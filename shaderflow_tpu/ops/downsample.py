@@ -1,0 +1,89 @@
+"""
+Fused SSAA downsample + uint8 quantization — the "final pass".
+
+Equivalent of the reference's iFinal shader program
+(/root/reference/shaderflow/resources/shaders/fragment/final.glsl:12-32): for
+every output pixel, average a subsample x subsample grid of bilinear taps
+spanning one output pixel of the supersampled render. Unlike the reference
+(a second GL draw + u8 FBO), this fuses into the same XLA program as the
+render itself — the supersampled frame never round-trips to HBM as a
+separate pass when XLA fuses producer/consumer.
+
+Fast path: when the render is an exact integer multiple of the output and
+the subsample kernel equals that multiple, every tap lands on a texel center
+and the shader reduces to exact s x s average pooling (a reshape-mean XLA
+handles at memory bandwidth).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from shaderflow_tpu.ops.sampling import Sampler2D, sample
+
+Array = jax.Array
+
+
+def quantize_u8(x: Array) -> Array:
+    """GL UNSIGNED_BYTE conversion: floor(clamp(c, 0, 1) * 255 + 0.5).
+
+    Half-away rounding, not jnp.round's half-to-even — GL hardware rounds
+    ties up, and PSNR parity cares about exactly these off-by-ones."""
+    return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def _output_astuv(height: int, width: int) -> Array:
+    """Pixel-center GL texture coordinates of the output grid (row 0 = top)."""
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    return jnp.stack(jnp.meshgrid(u, v, indexing="xy"), axis=-1)  # (H, W, 2)
+
+
+def ssaa_downsample(
+    render: Array,
+    out_height: int,
+    out_width: int,
+    subsample: int = 2,
+    components: int = 3,
+) -> Array:
+    """Downsample a supersampled (Hr, Wr, C) float render to
+    (out_height, out_width, components) float in [0, 1]."""
+    rh, rw = render.shape[0], render.shape[1]
+    render = render[..., :components]
+
+    # Identity: nothing to resample
+    if (rh, rw) == (out_height, out_width) and subsample >= 1:
+        if subsample == 1:
+            return render
+        # Taps all fall inside the same texel region; still exact enough to
+        # shortcut — the box of taps within one pixel of an equal-resolution
+        # linear texture averages back to (nearly) the texel. Use general path
+        # for bit-accuracy instead.
+
+    # Exact average pooling when taps align with texel centers
+    if (rh == out_height * subsample) and (rw == out_width * subsample) and subsample > 1:
+        pooled = render.reshape(out_height, subsample, out_width, subsample, components)
+        return pooled.mean(axis=(1, 3))
+
+    # General path: subsample^2 bilinear taps per output pixel (final.glsl:21-29)
+    tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
+    astuv = _output_astuv(out_height, out_width)
+
+    if subsample == 1:
+        return sample(tex, astuv)
+
+    pixel = jnp.array([1.0 / out_width, 1.0 / out_height], jnp.float32)
+    corner = astuv - pixel / 2.0
+    origin = corner + (pixel / subsample) / 2.0
+    acc = jnp.zeros((out_height, out_width, components), jnp.float32)
+    for x in range(subsample):
+        for y in range(subsample):
+            offset = (pixel / subsample) * jnp.array([x, y], jnp.float32)
+            acc = acc + sample(tex, origin + offset)
+    return acc / float(subsample * subsample)
+
+
+def final_pass(render: Array, out_height: int, out_width: int, subsample: int = 2) -> Array:
+    """Full final pass: SSAA downsample + u8 quantize -> (H, W, 3) uint8."""
+    return quantize_u8(ssaa_downsample(render, out_height, out_width, subsample, components=3))

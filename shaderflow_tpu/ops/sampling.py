@@ -1,0 +1,144 @@
+"""
+Texture sampling kernels.
+
+TPU-native replacement for OpenGL texture units: textures are (H, W, C)
+float32 device arrays sampled with gather + lerp. Semantics match GL:
+texel centers at (i + 0.5)/N, GL_REPEAT wraps, CLAMP_TO_EDGE clamps,
+GL_LINEAR bilinear / GL_NEAREST point sampling. Arrays are stored with
+row 0 = top of the image; the GL bottom-left v-origin is folded into the
+sampler (v=1 maps to row 0), so all uv math matches the reference GLSL
+(/root/reference/shaderflow/resources/shaders/include/shaderflow.glsl:162-208)
+without any flipping in user code.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from shaderflow_tpu.ops import stdlib as sl
+
+Array = jax.Array
+
+
+class Sampler2D(NamedTuple):
+    """A texture bound for sampling. `data` is traced; the sampling state
+    (filter, wrap modes) is static — it selects the compiled code path, the
+    same way GL sampler state selects fixed-function hardware behavior."""
+
+    data: Array            # (H, W, C) float32
+    linear: bool = True    # GL_LINEAR vs GL_NEAREST
+    repeat_x: bool = True  # GL_REPEAT vs CLAMP_TO_EDGE
+    repeat_y: bool = True
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def components(self) -> int:
+        return self.data.shape[2]
+
+    # Convenience: sampler(uv) samples like GLSL texture(sampler, uv)
+    def __call__(self, uv: Array) -> Array:
+        return sample(self, uv)
+
+
+jax.tree_util.register_pytree_node(
+    Sampler2D,
+    lambda s: ((s.data,), (s.linear, s.repeat_x, s.repeat_y)),
+    lambda aux, children: Sampler2D(children[0], *aux),
+)
+
+
+def _wrap(i: Array, n: int, repeat: bool) -> Array:
+    if repeat:
+        return jnp.mod(i, n)
+    return jnp.clip(i, 0, n - 1)
+
+
+def _gather(data: Array, iy: Array, ix: Array) -> Array:
+    """Fetch texels: data (H, W, C), integer index arrays (...,) -> (..., C)."""
+    return data[iy, ix]
+
+
+def sample(tex: Sampler2D, uv: Array) -> Array:
+    """Sample at GL texture coordinates uv (..., 2), u right / v up in [0,1].
+
+    Equivalent of GLSL texture(sampler2D, uv); the workhorse behind the
+    astexture/stexture/gtexture family (shaderflow.glsl:162-208).
+    """
+    h, w = tex.height, tex.width
+    u = uv[..., 0] * w - 0.5
+    # v up -> rows top-down: row = (1 - v)*H - 0.5
+    v = (1.0 - uv[..., 1]) * h - 0.5
+
+    if not tex.linear:
+        ix = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, tex.repeat_x)
+        iy = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, tex.repeat_y)
+        return _gather(tex.data, iy, ix)
+
+    x0f = jnp.floor(u)
+    y0f = jnp.floor(v)
+    fx = (u - x0f)[..., None]
+    fy = (v - y0f)[..., None]
+    x0 = _wrap(x0f.astype(jnp.int32), w, tex.repeat_x)
+    x1 = _wrap(x0f.astype(jnp.int32) + 1, w, tex.repeat_x)
+    y0 = _wrap(y0f.astype(jnp.int32), h, tex.repeat_y)
+    y1 = _wrap(y0f.astype(jnp.int32) + 1, h, tex.repeat_y)
+
+    c00 = _gather(tex.data, y0, x0)
+    c01 = _gather(tex.data, y0, x1)
+    c10 = _gather(tex.data, y1, x0)
+    c11 = _gather(tex.data, y1, x1)
+    top = c00 + (c01 - c00) * fx
+    bottom = c10 + (c11 - c10) * fx
+    return top + (bottom - top) * fy
+
+
+def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
+    """GLSL texelFetch: integer texel coordinates, x right / y up from the
+    bottom-left (GL convention), no filtering, zero outside bounds."""
+    h, w = tex.height, tex.width
+    x = xy[..., 0]
+    y_row = (h - 1) - xy[..., 1]
+    inside = (x >= 0) & (x < w) & (xy[..., 1] >= 0) & (xy[..., 1] < h)
+    x = jnp.clip(x, 0, w - 1)
+    y_row = jnp.clip(y_row, 0, h - 1)
+    return jnp.where(inside[..., None], _gather(tex.data, y_row, x), 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# GLSL-style coordinate-space texture accessors (shaderflow.glsl:165-208).
+# These take explicit scene aspect where the GLSL reads the iAspectRatio
+# uniform; the Frag context binds them.
+
+def astexture(tex: Sampler2D, astuv: Array) -> Array:
+    return sample(tex, astuv)
+
+
+def gtexture(tex: Sampler2D, gluv: Array, mirror: bool = False) -> Array:
+    if mirror:
+        return gmtexture(tex, gluv)
+    scale = sl.vec2(tex.height / tex.width, 1.0)
+    return sample(tex, sl.gluv2stuv(gluv * scale))
+
+
+def gmtexture(tex: Sampler2D, gluv: Array, want_aspect: float = 1.0) -> Array:
+    return gtexture(tex, sl.gluv_mirrored_repeat(gluv, want_aspect))
+
+
+def agtexture(tex: Sampler2D, agluv: Array, aspect: float, mirror: bool = False) -> Array:
+    if mirror:
+        return agtexture(tex, sl.agluv_mirrored_repeat(agluv), aspect)
+    return gtexture(tex, sl.agluv2gluv(agluv, aspect))
+
+
+def stexture(tex: Sampler2D, stuv: Array) -> Array:
+    return gtexture(tex, sl.stuv2gluv(stuv))

@@ -1,0 +1,205 @@
+"""
+Batched audio DSP: windows, STFT, natural-scale band matrices, waveform bars.
+
+TPU-first restructuring of the reference's per-frame audio math
+(/root/reference/shaderflow/audio/spectrogram.py, audio/waveform.py): where
+the realtime reference computes one windowed rFFT + sparse band matmul per
+frame on the CPU, the offline export path here knows all samples up front and
+computes the whole export's spectrogram in a single batched program — a
+(F, fft_size) windowed rFFT and one dense (bins x fft_bins) matmul that maps
+straight onto the MXU (sparsity is unnecessary on a systolic array; see
+SURVEY.md §2.9's scipy row).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# --------------------------------------------------------------------------- #
+# Windows (reference audio/spectrogram.py:90-108)
+
+@lru_cache
+def hanning(size: int) -> np.ndarray:
+    return np.hanning(size)
+
+@lru_cache
+def hann_poisson(size: int, alpha: float = 2.0) -> np.ndarray:
+    n = np.arange(size)
+    a = 0.5 * (1 - np.cos(2 * np.pi * n / size))
+    b = np.exp(-alpha * np.abs(size - 2 * n) / size)
+    return a * b
+
+@lru_cache
+def no_window(size: int) -> np.ndarray:
+    return np.ones(size)
+
+
+# --------------------------------------------------------------------------- #
+# Magnitude / volume mappings (audio/spectrogram.py:20-41)
+
+def magnitude_amplitude(x: Array) -> Array:
+    return jnp.abs(x)
+
+def magnitude_power(x: Array) -> Array:
+    return (x * jnp.conjugate(x)).real
+
+def volume_dbfs(x: Array) -> Array:
+    return 10.0 * jnp.log10(x)
+
+def volume_sqrt(x: Array) -> Array:
+    return jnp.sqrt(x)
+
+def volume_linear(x: Array) -> Array:
+    return x
+
+def volume_dbfs_tremx(x: Array) -> Array:
+    return 10.0 * (jnp.log10(x + 0.1) + 1.0) / 1.0414
+
+
+# --------------------------------------------------------------------------- #
+# Frequency scales (audio/spectrogram.py:73-88)
+
+SCALE_OCTAVE = (lambda x: np.log2(x), lambda x: 2.0 ** x)
+SCALE_MEL = (
+    lambda x: 2595.0 * np.log10(1.0 + x / 700.0),
+    lambda x: 700.0 * (10.0 ** (x / 2595.0) - 1.0),
+)
+
+def scale_frequencies(minimum: float, maximum: float, bins: int, scale=SCALE_OCTAVE) -> np.ndarray:
+    """Center frequencies T^-1(linspace(T(min), T(max), bins)) in a custom scale."""
+    forward, inverse = scale
+    return inverse(np.linspace(forward(minimum), forward(maximum), bins))
+
+
+# --------------------------------------------------------------------------- #
+# Whittaker-Shannon band-pass interpolation matrix (audio/spectrogram.py:194-224)
+
+def interpolation_euler(end: float = 1.2) -> Callable[[np.ndarray], np.ndarray]:
+    return lambda x: np.exp(-((2.0 * x / end) ** 2)) / (end * math.sqrt(math.pi))
+
+def interpolation_dirac(x: np.ndarray) -> np.ndarray:
+    dirac = np.zeros(x.shape)
+    dirac[np.round(x) == 0] = 1
+    return dirac
+
+def interpolation_sinc(x: np.ndarray) -> np.ndarray:
+    return np.abs(np.sinc(x))
+
+
+def band_matrix(
+    center_frequencies: np.ndarray,
+    fft_bins: int,
+    fft_df: float,
+    interpolation: Callable[[np.ndarray], np.ndarray] | None = None,
+    epsilon: float = 1e-5,
+) -> np.ndarray:
+    """(bins, fft_bins) dense matrix; row b is a band-pass filter centered at
+    center_frequencies[b], built by treating FFT bins as a one-hertz-spaced
+    function interpolated at the (fractional) center bin index."""
+    interpolation = interpolation or interpolation_euler()
+    index = np.asarray(center_frequencies) / fft_df
+    matrix = np.stack([interpolation(i - np.arange(fft_bins)) for i in index])
+    matrix[np.abs(matrix) < epsilon] = 0.0
+    return matrix.astype(np.float32)
+
+
+# --------------------------------------------------------------------------- #
+# Batched STFT
+
+def stft_frames(audio: Array, offsets: Array, fft_size: int, window: Array) -> Array:
+    """Gather + window frames: audio (C, S), offsets (F,) start samples of
+    each frame's window -> (F, C, fft_size) windowed slices.
+
+    Offsets may exceed bounds; samples are taken with clamping at the edges
+    (leading silence is the caller's concern — the rolling-buffer semantics
+    of the reference zero-fill before playback starts)."""
+    idx = offsets[:, None] + jnp.arange(fft_size)[None, :]          # (F, N)
+    valid = (idx >= 0) & (idx < audio.shape[1])
+    idx = jnp.clip(idx, 0, audio.shape[1] - 1)
+    frames = audio[:, idx]                                          # (C, F, N)
+    frames = jnp.where(valid[None], frames, 0.0)
+    return jnp.transpose(frames, (1, 0, 2)) * window[None, None, :]
+
+
+def spectrogram_batch(
+    audio: Array,
+    offsets: Array,
+    fft_size: int,
+    window: Array,
+    matrix: Array,
+    magnitude: Callable[[Array], Array] = magnitude_power,
+    volume: Callable[[Array], Array] | None = None,
+) -> Array:
+    """Whole-trajectory spectrogram: (F, C, bins) = volume(M @ |rfft|).
+
+    One rFFT over the frame batch + one MXU matmul, replacing the reference's
+    per-frame fft() + sparse dot (audio/spectrogram.py:155-176)."""
+    frames = stft_frames(audio, offsets, fft_size, window)          # (F, C, N)
+    spectrum = magnitude(jnp.fft.rfft(frames, axis=-1))             # (F, C, N/2+1)
+    banded = jnp.einsum("bn,fcn->fcb", matrix, spectrum.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    if volume is not None:
+        banded = volume(banded)
+    return banded
+
+
+# --------------------------------------------------------------------------- #
+# Waveform bar reduction (audio/waveform.py:14-22)
+
+def waveform_average(x: Array) -> Array:
+    return jnp.sqrt(jnp.mean(jnp.abs(x), axis=-1))
+
+def waveform_rms(x: Array) -> Array:
+    return jnp.sqrt(jnp.sqrt(jnp.mean(jnp.square(x), axis=-1)) * (2.0 ** 0.5))
+
+def waveform_std(x: Array) -> Array:
+    return jnp.sqrt(jnp.std(x, axis=-1))
+
+
+def waveform_batch(
+    audio: Array,
+    ends: Array,
+    points: int,
+    chunk_size: int,
+    reducer: Callable[[Array], Array] = waveform_average,
+) -> Array:
+    """Batched oscilloscope bars: audio (C, S), ends (F,) exclusive end sample
+    of each frame's window -> (F, points, C) reduced chunks.
+
+    Functional form of ShaderWaveform.update (audio/waveform.py:80-87): the
+    last `points*chunk_size` samples before each frame's cursor, reshaped to
+    (points, chunk_size) and reduced per chunk."""
+    span = points * chunk_size
+    starts = ends - span
+    idx = starts[:, None] + jnp.arange(span)[None, :]               # (F, span)
+    valid = (idx >= 0) & (idx < audio.shape[1])
+    idx = jnp.clip(idx, 0, audio.shape[1] - 1)
+    windows = jnp.where(valid[None], audio[:, idx], 0.0)            # (C, F, span)
+    chunks = windows.reshape(audio.shape[0], ends.shape[0], points, chunk_size)
+    reduced = reducer(chunks)                                       # (C, F, points)
+    return jnp.transpose(reduced, (1, 2, 0))
+
+
+# --------------------------------------------------------------------------- #
+# Rolling volume / std (audio/module.py:447-458)
+
+def rolling_levels(audio: Array, ends: Array, window_samples: int) -> tuple[Array, Array]:
+    """Per-frame (volume_target, std_target): volume = 2*RMS(last window)*sqrt(2),
+    std = standard deviation of the same window."""
+    starts = ends - window_samples
+    idx = starts[:, None] + jnp.arange(window_samples)[None, :]
+    valid = (idx >= 0) & (idx < audio.shape[1])
+    idx = jnp.clip(idx, 0, audio.shape[1] - 1)
+    windows = jnp.where(valid[None], audio[:, idx], 0.0)            # (C, F, W)
+    rms = jnp.sqrt(jnp.mean(jnp.square(windows), axis=(0, 2)))
+    volume = 2.0 * rms * (2.0 ** 0.5)
+    std = jnp.std(windows, axis=(0, 2))
+    return volume, std

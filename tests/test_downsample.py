@@ -1,0 +1,59 @@
+"""SSAA final pass: pooling fast path vs general bilinear taps, u8 rounding."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from shaderflow_tpu.ops.downsample import final_pass, quantize_u8, ssaa_downsample
+
+
+def test_quantize_rounds_like_gl():
+    x = jnp.array([0.0, 0.5 / 255, 1.5 / 255, 1.0, 1.5, -0.2])
+    got = np.asarray(quantize_u8(x))
+    np.testing.assert_array_equal(got, [0, 1, 2, 255, 255, 0])
+
+
+def test_exact_average_pool_2x():
+    rng = np.random.default_rng(1)
+    render = jnp.asarray(rng.uniform(size=(8, 12, 3)).astype(np.float32))
+    out = np.asarray(ssaa_downsample(render, 4, 6, subsample=2))
+    expected = np.asarray(render).reshape(4, 2, 6, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_general_path_matches_pool_when_aligned():
+    """The general bilinear-tap path must agree with exact pooling when taps
+    align with texel centers (the correctness anchor of final.glsl)."""
+    rng = np.random.default_rng(2)
+    render = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+
+    pooled = np.asarray(render).reshape(8, 2, 8, 2, 3).mean(axis=(1, 3))
+
+    # Force general path by asking for components=3 via non-integer-ratio API:
+    from shaderflow_tpu.ops.downsample import _output_astuv
+    from shaderflow_tpu.ops.sampling import Sampler2D, sample
+
+    tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
+    astuv = _output_astuv(8, 8)
+    pixel = jnp.array([1 / 8, 1 / 8], jnp.float32)
+    corner = astuv - pixel / 2
+    origin = corner + (pixel / 2) / 2
+    acc = jnp.zeros((8, 8, 3))
+    for x in range(2):
+        for y in range(2):
+            acc = acc + sample(tex, origin + (pixel / 2) * jnp.array([x, y], jnp.float32))
+    general = np.asarray(acc / 4)
+    np.testing.assert_allclose(general, pooled, atol=1e-5)
+
+
+def test_identity_when_same_resolution():
+    render = jnp.asarray(np.random.default_rng(3).uniform(size=(6, 6, 3)).astype(np.float32))
+    out = np.asarray(ssaa_downsample(render, 6, 6, subsample=1))
+    np.testing.assert_allclose(out, np.asarray(render), atol=1e-6)
+
+
+def test_final_pass_u8():
+    render = jnp.ones((8, 8, 4), jnp.float32) * 0.5
+    out = np.asarray(final_pass(render, 4, 4, subsample=2))
+    assert out.shape == (4, 4, 3)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, np.full((4, 4, 3), 128))
