@@ -1,0 +1,271 @@
+"""
+The batched render engine: whole scene -> one jitted XLA program per frame batch.
+
+This replaces the reference's per-frame GL machinery (uniform re-uploads,
+per-layer draw calls, FBO readbacks — shader.py:377-405, scene.py:456-479)
+with the TPU-native execution model from SURVEY.md §7:
+
+  * The host advances module state frame by frame (cheap numpy) and captures
+    each frame's uniform pytree + any texture written that frame.
+  * F frames are rendered per device launch by a lax.scan whose carry is the
+    set of program texture matrices (T, L, H, W, C) — temporal feedback
+    (motion blur, Life) is the scan carry, the roll is a jnp.roll.
+  * Within one frame, programs render in reverse module order; a program
+    writes its layers progressively into temporal slot 0 (later layers and
+    later programs see them — GL live-texture binding semantics), then its
+    ring rolls (deque.rotate(+1) equivalence: slot 1 = newest after roll).
+  * The final SSAA box downsample + uint8 quantization is fused into the
+    same program (ops/downsample.py), so a frame leaves the device exactly
+    once, as (F, H, W, 3) uint8.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shaderflow_tpu import logger
+from shaderflow_tpu.ops.downsample import final_pass
+from shaderflow_tpu.shader import Frag, ShaderProgram, finish_coords, make_coords
+from shaderflow_tpu.texture import ShaderTexture
+
+if TYPE_CHECKING:
+    from shaderflow_tpu.scene import ShaderScene
+
+
+class RenderEngine:
+
+    def __init__(self, scene: "ShaderScene"):
+        self.scene = scene
+        self.stale = True
+
+        self._jitted = None
+        self._carry: dict[str, jax.Array] = {}
+        self._static_tex: dict[str, jax.Array] = {}
+        self._static_versions: dict[str, int] = {}
+        self._statics: dict[str, Any] = {}
+        self._streamed_names: set[str] = set()
+
+        # Per-batch capture state
+        self._frame_uniforms: list[dict[str, np.ndarray]] = []
+        self._frame_streams: dict[str, list[np.ndarray]] = {}
+
+    def invalidate(self) -> None:
+        self.stale = True
+
+    # ------------------------------------------------------------------ #
+    # Inventory
+
+    def _programs(self) -> list[ShaderProgram]:
+        """Render order: reverse module-addition order, final excluded
+        (scene.py:469-471 update sweep)."""
+        programs = [m for m in self.scene.modules
+                    if isinstance(m, ShaderProgram) and m is not self.scene._final]
+        return programs[::-1]
+
+    def _external_textures(self) -> dict[str, ShaderTexture]:
+        """Named textures not owned by a program (images, audio, piano, video)."""
+        owned = {p.texture for p in self._programs()} | {self.scene._final.texture}
+        out = {}
+        for module in self.scene.modules:
+            if isinstance(module, ShaderTexture) and module.name and module not in owned:
+                out[module.name] = module
+        return out
+
+    def _texture_meta(self) -> dict[str, ShaderTexture]:
+        meta = dict(self._external_textures())
+        for prog in self._programs():
+            meta[prog.name] = prog.texture
+        return meta
+
+    # ------------------------------------------------------------------ #
+    # Build
+
+    def build(self) -> None:
+        scene = self.scene
+        programs = self._programs()
+        externals = self._external_textures()
+        meta = self._texture_meta()
+
+        # Static uniform values specialize the compiled program
+        self._statics = {}
+        for variable in scene.full_pipeline():
+            if variable.static and variable.value is not None:
+                self._statics[variable.name] = variable.value
+
+        # Program texture matrices -> scan carry (initialized from host
+        # writes, e.g. the Life seed at examples demo Life.setup)
+        self._carry = {}
+        for prog in programs:
+            prog.texture.make() if prog.texture.matrix is None else None
+            self._carry[prog.name] = jnp.asarray(prog.texture.matrix)
+
+        # Device copies of external textures (streamed ones excluded; they
+        # ride the per-frame batch instead)
+        self._static_tex = {}
+        self._static_versions = {}
+        for name, tex in externals.items():
+            if name in self._streamed_names:
+                continue
+            if tex.matrix is None:
+                tex.make()
+            self._static_tex[name] = jnp.asarray(tex.matrix)
+            self._static_versions[name] = tex.version
+            tex.dirty = False
+
+        # Per-program coordinate grids (at each program's own resolution)
+        aspect = scene.aspect_ratio
+        coords = []
+        for prog in programs:
+            width, height = prog.texture.resolution
+            coords.append(make_coords(height, width, aspect))
+
+        out_width, out_height = scene._final.texture.resolution
+        subsample = int(scene.subsample)
+        main_name = scene.shader.name
+        statics = dict(self._statics)
+        program_list = list(programs)
+        meta_snapshot = dict(meta)
+
+        def render_batch(carry, uniforms, streams, static_tex):
+            def body(carry, per_frame):
+                frame_uniforms, frame_streams = per_frame
+                textures = dict(static_tex)
+                textures.update(frame_streams)
+                textures.update(carry)
+
+                new_carry = {}
+                for prog, base_coords in zip(program_list, coords):
+                    matrix = textures[prog.name]
+                    layers = matrix.shape[1]
+                    frame_coords = finish_coords(base_coords, frame_uniforms["iResolution"])
+                    for layer in range(layers):
+                        ctx = Frag(
+                            coords=frame_coords,
+                            uniforms=frame_uniforms,
+                            statics={**statics, "iLayer": layer},
+                            textures=textures,
+                            texture_meta=meta_snapshot,
+                            layer=layer,
+                        )
+                        out = prog.render_layer(ctx)
+                        matrix = matrix.at[0, layer].set(out)
+                        textures[prog.name] = matrix
+                    matrix = jnp.roll(matrix, 1, axis=0)
+                    textures[prog.name] = matrix
+                    new_carry[prog.name] = matrix
+
+                source = textures[main_name][0, -1]
+                frame = final_pass(source, out_height, out_width, subsample)
+                return new_carry, frame
+
+            return jax.lax.scan(body, carry, (uniforms, streams))
+
+        self._jitted = jax.jit(render_batch, donate_argnums=(0,))
+        self.stale = False
+        logger.debug(f"Engine built: {len(program_list)} programs, "
+                     f"{len(self._static_tex)} static + {len(self._streamed_names)} streamed textures, "
+                     f"output {out_width}x{out_height} subsample {subsample}")
+
+    # ------------------------------------------------------------------ #
+    # Batch capture (host side, per frame)
+
+    def begin_batch(self) -> None:
+        if self.stale:
+            self.build()
+        else:
+            self._refresh_static_textures()
+        self._frame_uniforms = []
+        self._frame_streams = {name: [] for name in self._streamed_names}
+
+    def _refresh_static_textures(self) -> None:
+        """Re-upload any texture whose host copy changed between batches
+        (e.g. a file-drop background swap)."""
+        for name, tex in self._external_textures().items():
+            if name in self._streamed_names:
+                continue
+            if name not in self._static_tex or tex.version != self._static_versions.get(name):
+                if tex.matrix is None:
+                    tex.make()
+                self._static_tex[name] = jnp.asarray(tex.matrix)
+                self._static_versions[name] = tex.version
+                tex.dirty = False
+
+    def capture_frame(self) -> None:
+        """Snapshot the current frame's uniforms + dirty textures. Called
+        after the scene ran every module's update() for this frame."""
+        uniforms: dict[str, np.ndarray] = {}
+        statics_changed = False
+        for variable in self.scene.full_pipeline():
+            if variable.value is None:
+                continue
+            if variable.static:
+                if self._statics.get(variable.name) != variable.value:
+                    statics_changed = True
+                continue
+            if variable.type == "sampler2D":
+                continue
+            uniforms[variable.name] = variable.coerce()
+        if statics_changed:
+            # A static (program-specializing) uniform changed mid-run; the
+            # next batch rebuilds around the new value.
+            self.invalidate()
+        self._frame_uniforms.append(uniforms)
+
+        frame_index = len(self._frame_uniforms) - 1
+        for name, tex in self._external_textures().items():
+            streamed = name in self._streamed_names
+            if tex.dirty and not streamed:
+                # Texture became per-frame dynamic: promote to streamed
+                self._streamed_names.add(name)
+                self._static_tex.pop(name, None)
+                backfill = tex.matrix.copy()
+                self._frame_streams[name] = [backfill] * frame_index
+                streamed = True
+                if frame_index:
+                    logger.debug(f"Texture {name} became streamed mid-batch at frame {frame_index}")
+            if streamed:
+                self._frame_streams[name].append(tex.matrix.copy())
+                tex.dirty = False
+
+    # ------------------------------------------------------------------ #
+    # Flush: run the device program
+
+    def flush(self, count: Optional[int] = None, pad_to: Optional[int] = None):
+        """Render all captured frames; returns (F, H, W, 3) uint8 on device.
+
+        pad_to repeats the last frame to keep a stable batch shape (avoids a
+        retrace on the final partial batch); the padding is cropped off.
+        """
+        count = count if count is not None else len(self._frame_uniforms)
+        if count == 0:
+            return None
+        pad = (pad_to - count) if (pad_to and pad_to > count) else 0
+
+        names = self._frame_uniforms[0].keys()
+        uniforms = {}
+        for name in names:
+            values = [frame[name] for frame in self._frame_uniforms]
+            if pad:
+                values = values + [values[-1]] * pad
+            uniforms[name] = np.stack(values)
+
+        streams = {}
+        for name, frames in self._frame_streams.items():
+            if pad:
+                frames = frames + [frames[-1]] * pad
+            streams[name] = np.stack(frames)
+
+        self._carry, frames_u8 = self._jitted(self._carry, uniforms, streams, self._static_tex)
+        return frames_u8[:count] if pad else frames_u8
+
+    # ------------------------------------------------------------------ #
+
+    def reset_carry(self) -> None:
+        """Re-seed program textures from their host matrices (scene reset)."""
+        for prog in self._programs():
+            if prog.texture.matrix is not None:
+                self._carry[prog.name] = jnp.asarray(prog.texture.matrix)

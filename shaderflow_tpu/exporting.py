@@ -1,0 +1,244 @@
+"""
+Export orchestration: configure the encoder, move frame batches, track stats.
+
+Role-equivalent of the reference exporting helper
+(/root/reference/shaderflow/exporting.py): output type selection
+(file/pipe), tqdm progress with optional relay callback, FFmpeg pipe-input
+configuration at the scene size, per-module ffhook mutation of the encoder
+command, the frame transport (here: device batches -> VideoSink -> C++
+frame pump), crash detection, and the closing "Took Xs at Yfps | Zx
+Realtime" stats log.
+
+Differences: frames arrive as (F, H, W, 3) uint8 device batches already
+downsampled and quantized on-TPU; no vflip filter is needed (frames leave
+the device top-down); when no ffmpeg binary exists the sink falls back to
+OpenCV/raw writers (io/sinks.py) and audio is written as a sidecar WAV.
+"""
+
+from __future__ import annotations
+
+import time
+import wave
+from datetime import datetime
+from enum import Enum
+from pathlib import Path
+from typing import TYPE_CHECKING, Callable, Optional, Union
+
+import numpy as np
+
+from shaderflow_tpu import logger
+from shaderflow_tpu.io.ffmpeg import FFmpeg
+from shaderflow_tpu.io.sinks import (
+    CV2Sink, FFmpegSink, ImageSink, NullSink, PipeSink, RawSink, VideoSink,
+)
+
+if TYPE_CHECKING:
+    from shaderflow_tpu.scene import ShaderScene
+
+
+class OutputType(str, Enum):
+    PATH = "file"
+    PIPE = "pipe"
+    NULL = "null"
+
+
+class ExportingHelper:
+
+    def __init__(self, scene: "ShaderScene"):
+        self.scene = scene
+        self.type: Optional[OutputType] = None
+        self.sink: Optional[VideoSink] = None
+        self.frame = 0
+        self.start = time.monotonic()
+        self.relay: Optional[Callable[[int, int], None]] = None
+        self.bar = None
+        self.took: Optional[float] = None
+        self._sidecar_audio: Optional[Path] = None
+
+    @property
+    def ffmpeg(self) -> FFmpeg:
+        return self.scene.ffmpeg
+
+    @property
+    def total_frames(self) -> int:
+        return max(1, round(self.scene.runtime * self.scene.fps))
+
+    @property
+    def finished(self) -> bool:
+        return self.frame >= self.total_frames
+
+    # -- progress -----------------------------------------------------------
+
+    def open_bar(self) -> None:
+        import tqdm
+        self.bar = tqdm.tqdm(
+            total=self.total_frames,
+            disable=((self.relay is False) or bool(self.relay) or self.scene.realtime),
+            desc=f"Scene ({self.scene.name}) → Video",
+            unit=" frames",
+            dynamic_ncols=True,
+            mininterval=1 / 30,
+            maxinterval=0.5,
+            smoothing=0.1,
+            leave=False,
+        )
+
+    def update(self, count: int = 1) -> None:
+        if self.relay:
+            self.relay(self.frame, self.total_frames)
+        if self.bar:
+            self.bar.update(count)
+        self.frame += count
+
+    # -- FFmpeg command configuration ----------------------------------------
+
+    def ffmpeg_clean(self) -> None:
+        self.ffmpeg.clear(video_codec=False, audio_codec=False)
+
+    def ffmpeg_sizes(self, width: int, height: int) -> None:
+        """Pipe rawvideo at the scene output size; scale only if the encode
+        target differs (raw mode exports at render resolution)."""
+        scene = self.scene
+        self.ffmpeg.time = scene.runtime
+        self.ffmpeg.pipe_input(
+            pixel_format="rgb24",
+            width=scene.width,
+            height=scene.height,
+            framerate=scene.fps,
+        )
+        if (width, height) != (scene.width, scene.height):
+            self.ffmpeg.scale(width=width, height=height)
+
+    def ffmpeg_output(self, output: Union[Path, str]) -> None:
+        if output in ("pipe", "-", bytes):
+            self.type = OutputType.PIPE
+            self.ffmpeg.pipe_output(format="matroska")
+        else:
+            self.type = OutputType.PATH
+            output = Path(output).expanduser().absolute()
+            if not output.name:
+                stamp = datetime.now().strftime("%Y-%m-%d %H-%M-%S")
+                output = output / f"({stamp}) {self.scene.name}.mp4"
+            output.parent.mkdir(parents=True, exist_ok=True)
+            self.ffmpeg.output(path=output)
+
+    def ffhook(self) -> None:
+        for module in self.scene.modules:
+            module.ffhook(self.ffmpeg)
+
+    # -- sink selection ------------------------------------------------------
+
+    def make_sink(self, output: Union[Path, str, None], *, width: int, height: int,
+                  turbo: bool = True, buffers: int = 5) -> VideoSink:
+        scene = self.scene
+        frame_bytes = scene.width * scene.height * 3
+
+        if output is None or str(output) in ("null", "null://", "/dev/null"):
+            self.type = OutputType.NULL
+            self.sink = NullSink()
+            return self.sink
+
+        if output in ("pipe", "-", bytes):
+            self.type = OutputType.PIPE
+            if FFmpeg.available():
+                self.ffmpeg_clean()
+                self.ffmpeg_sizes(width, height)
+                self.ffmpeg_output(output)
+                self._default_codecs()
+                self.ffhook()
+                self.sink = FFmpegSink(self.ffmpeg, frame_bytes, buffers, turbo, pipe_output=True)
+            else:
+                logger.warn("No ffmpeg binary: pipe output returns raw rgb24 bytes")
+                self.sink = PipeSink()
+            return self.sink
+
+        path = Path(output).expanduser().absolute()
+        suffix = path.suffix.lower()
+
+        if suffix in (".rgb", ".raw"):
+            self.type = OutputType.PATH
+            self.sink = RawSink(path, width, height, scene.fps)
+        elif suffix in ("", ".png") or path.is_dir():
+            self.type = OutputType.PATH
+            self.sink = ImageSink(path if suffix == "" else path.parent)
+        elif FFmpeg.available():
+            self.ffmpeg_clean()
+            self.ffmpeg_sizes(width, height)
+            self.ffmpeg_output(path)
+            self._default_codecs()
+            self.ffhook()
+            self.type = OutputType.PATH
+            self.sink = FFmpegSink(self.ffmpeg, frame_bytes, buffers, turbo)
+        else:
+            logger.warn(f"No ffmpeg binary: encoding {path.name} with OpenCV "
+                        f"(audio, if any, becomes a sidecar .wav)")
+            self.type = OutputType.PATH
+            self.sink = CV2Sink(path, width, height, scene.fps)
+            self._write_sidecar_audio(path)
+        return self.sink
+
+    def _default_codecs(self) -> None:
+        """Reference defaults: x264 slow crf20 video, AAC audio when an
+        audio input was hooked (ffmpeg.py:163,188 defaults)."""
+        if self.ffmpeg.vcodec is None:
+            self.ffmpeg.h264(preset="slow", crf=20)
+        if self.ffmpeg.acodec is None:
+            self.ffmpeg.aac()
+
+    def _write_sidecar_audio(self, video_path: Path) -> None:
+        """Without ffmpeg we cannot mux; persist the scene's audio track as
+        '<output>.wav' so nothing is lost."""
+        for module in self.scene.modules:
+            audio_file = getattr(module, "file", None)
+            data = getattr(module, "data", None)
+            samplerate = getattr(module, "samplerate", None)
+            if audio_file is None or data is None or samplerate is None:
+                continue
+            target = video_path.with_suffix(video_path.suffix + ".wav")
+            try:
+                from shaderflow_tpu.io.ffmpeg import FFmpeg as FF
+                samples = FF.get_audio_numpy(audio_file)
+                if samples is None:
+                    continue
+                limit = int(self.scene.runtime * samplerate)
+                samples = samples[:limit]
+                with wave.open(str(target), "wb") as handle:
+                    handle.setnchannels(samples.shape[1])
+                    handle.setsampwidth(2)
+                    handle.setframerate(int(samplerate))
+                    handle.writeframes(
+                        (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+                self._sidecar_audio = target
+                logger.info(f"Wrote sidecar audio {target}")
+            except Exception as error:
+                logger.warn(f"Could not write sidecar audio: {error}")
+            return
+
+    # -- frame transport -----------------------------------------------------
+
+    def pipe_batch(self, frames: np.ndarray) -> None:
+        """Send one uint8 (F, H, W, 3) batch to the sink."""
+        if self.sink is None:
+            self.update(int(frames.shape[0]))
+            return
+        self.sink.write_batch(frames)
+        self.update(int(frames.shape[0]))
+
+    # -- finish --------------------------------------------------------------
+
+    def finish(self) -> Optional[Union[Path, bytes]]:
+        result = self.sink.finish() if self.sink is not None else None
+        if self.bar is not None:
+            self.bar.close()
+        self.took = time.monotonic() - self.start
+        return result
+
+    def log_stats(self, output=None) -> None:
+        if self.scene.exporting and output is not None:
+            logger.info(f"Finished rendering ({output})")
+        took = self.took or (time.monotonic() - self.start)
+        logger.info(
+            f"• Stats: (Took {took:.2f}s) at "
+            f"({self.frame / took:.2f}fps | "
+            f"{self.scene.runtime / took:.2f}x Realtime) with "
+            f"({self.frame} Total Frames)")

@@ -1,0 +1,142 @@
+"""
+ShaderModule — the lifecycle trait everything in a scene implements.
+
+Same object model as the reference module system
+(/root/reference/shaderflow/module.py): a module registers itself into its
+scene on construction, exposes build/setup/update/pipeline/handle/ffhook/
+duration/destroy hooks, can relay() messages to every module, and
+full_pipeline() concatenates every module's uniforms. The scene itself is a
+module (the first one).
+
+Differences driven by the TPU engine:
+  * pipeline() values are batched per frame and fed to jitted programs, so
+    uniforms are numpy-coercible values, not GL handles.
+  * Modules that stream per-frame texture data declare it by writing through
+    ShaderTexture.write() during update(); the engine snapshots dirty
+    textures into the frame batch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import weakref
+from typing import TYPE_CHECKING, Any, Iterable, Optional
+
+from shaderflow_tpu import logger
+from shaderflow_tpu.variable import ShaderVariable
+
+if TYPE_CHECKING:
+    from shaderflow_tpu.io.ffmpeg import FFmpeg
+    from shaderflow_tpu.scene import ShaderScene
+
+_uuid_counter = itertools.count(1)
+
+
+class ShaderModule:
+
+    scene: "ShaderScene"
+    name: Optional[str] = None
+
+    def __init__(self, scene: Optional["ShaderScene"] = None, name: Optional[str] = None, **kwargs):
+        from shaderflow_tpu.scene import ShaderScene  # circular at import time
+
+        self.uuid: int = next(_uuid_counter)
+        if name is not None:
+            self.name = name
+
+        # The first module constructed is the scene itself
+        target = scene if scene is not None else self
+        if not isinstance(target, weakref.ProxyTypes):
+            self.scene = weakref.proxy(target)
+        else:
+            self.scene = target
+
+        if not isinstance(self.scene, ShaderScene):
+            raise RuntimeError(
+                f"Module of type {type(self).__name__!r} must be constructed with "
+                f"{type(self).__name__}(scene=<ShaderScene instance>, ...)")
+
+        for key, value in kwargs.items():
+            setattr(self, key, value)
+
+        self.scene.modules.append(self)
+        self.commands()
+
+        if not isinstance(self, ShaderScene):
+            self.build()
+
+    # -- lifecycle hooks ----------------------------------------------------
+
+    def build(self) -> None:
+        """Called once when the module is added to a scene."""
+
+    def setup(self) -> None:
+        """Called before every run of the main event loop (and on scene reset)."""
+
+    def update(self) -> None:
+        """Called once per frame on the host, before the batch renders."""
+
+    def pipeline(self) -> Iterable[ShaderVariable]:
+        """Yield this module's uniforms for the current frame."""
+        return []
+
+    def handle(self, message: Any) -> None:
+        """React to a relayed message."""
+
+    def ffhook(self, ffmpeg: "FFmpeg") -> None:
+        """Mutate the export FFmpeg command (e.g. add an audio input)."""
+
+    def commands(self) -> None:
+        """Register CLI commands on the scene launcher."""
+
+    def destroy(self) -> None:
+        """Release resources; called when the scene is destroyed."""
+
+    @property
+    def duration(self) -> float:
+        """Self-reported content duration (scene runtime = max over modules)."""
+        return 0.0
+
+    # -- scene-wide operations ----------------------------------------------
+
+    def full_pipeline(self) -> Iterable[ShaderVariable]:
+        for module in self.scene.modules:
+            yield from module.pipeline()
+
+    def relay(self, message: Any) -> "ShaderModule":
+        if isinstance(message, type):
+            message = message()
+        for module in self.scene.modules:
+            module.handle(message)
+        return self
+
+    def find(self, kind: type) -> Iterable["ShaderModule"]:
+        for module in self.scene.modules:
+            if isinstance(module, kind):
+                yield module
+
+    # -- logging ------------------------------------------------------------
+
+    @property
+    def who(self) -> str:
+        return f"(Module {self.uuid:>2} • {type(self).__name__[:14]:<14})"
+
+    def log_info(self, *args) -> str:
+        return logger.info(self.who, *args)
+
+    def log_warn(self, *args) -> str:
+        return logger.warn(self.who, *args)
+
+    def log_error(self, *args) -> str:
+        return logger.error(self.who, *args)
+
+    def log_debug(self, *args) -> str:
+        return logger.debug(self.who, *args)
+
+    def log_minor(self, *args) -> str:
+        return logger.minor(self.who, *args)
+
+    # -- optional UI hook (realtime preview) ---------------------------------
+
+    def ui(self) -> None:
+        """Draw an interactive panel for this module (realtime mode only)."""

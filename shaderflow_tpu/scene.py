@@ -1,0 +1,501 @@
+"""
+ShaderScene — the root module, time model, and batched event loop.
+
+Role-equivalent of the reference scene
+(/root/reference/shaderflow/scene.py): the scene IS a module (first in its
+own module list), owns the default frametimer/keyboard/camera modules, the
+main "iScreen" program and the SSAA final program, the virtual time model
+(time/speed/runtime/fps/dt/rdt, tau, frame), the resolution model with
+fractional SSAA, the message relays, and the single `main()` entry point
+with the reference's full flag surface.
+
+TPU redesign of the hot loop: instead of one GL draw + readback per
+scheduler tick (scene.py:622-639), `main()` advances module state per frame
+on the host, captures uniform pytrees, and renders B frames per device
+launch through the jitted engine (engine.py). Device compute for batch k
+overlaps the host transfer/encode of batch k-1.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from enum import Enum
+from pathlib import Path
+from typing import Any, Iterable, Optional, Union
+
+import numpy as np
+
+from shaderflow_tpu import logger
+from shaderflow_tpu.engine import RenderEngine
+from shaderflow_tpu.exporting import ExportingHelper
+from shaderflow_tpu.frametimer import ShaderFrametimer
+from shaderflow_tpu.io.ffmpeg import FFmpeg
+from shaderflow_tpu.keyboard import ShaderKeyboard
+from shaderflow_tpu.message import ShaderMessage
+from shaderflow_tpu.module import ShaderModule
+from shaderflow_tpu.resolution import Resolution
+from shaderflow_tpu.scheduler import Scheduler
+from shaderflow_tpu.shader import ShaderProgram
+from shaderflow_tpu.variable import ShaderVariable, Uniform
+
+
+class WindowBackend(Enum):
+    Headless = "headless"
+    Preview = "preview"   # cv2-based live preview when a display exists
+
+    @classmethod
+    def infer(cls) -> "WindowBackend":
+        if (option := os.getenv("WINDOW_BACKEND")):
+            return cls(option)
+        if ("main" in sys.argv) and any(x in sys.argv for x in ("--output", "-o")):
+            return cls.Headless
+        if os.getenv("DISPLAY"):
+            return cls.Preview
+        return cls.Headless
+
+
+class ShaderScene(ShaderModule):
+
+    def __init__(self, backend: Optional[WindowBackend] = None, **kwargs):
+        # The scene is its own first module; the registry must exist before
+        # ShaderModule.__init__ appends self to it.
+        self.modules: list[ShaderModule] = []
+        self.backend = WindowBackend(backend) if backend else WindowBackend.infer()
+
+        # Temporal model
+        self.time: float = 0.0
+        self.speed: float = 1.0
+        self.runtime: float = 10.0
+        self.fps: float = 60.0
+        self.dt: float = 0.0
+        self.rdt: float = 0.0
+
+        # Resolution model
+        self._width: int = 1920
+        self._height: int = 1080
+        self._ssaa: float = 1.0
+        self._aspect_ratio: Optional[float] = None
+        self.quality: float = 50.0
+        self.subsample: int = 2
+
+        # Run state
+        self.realtime: bool = True
+        self.exporting: bool = False
+        self.freewheel: bool = False
+        self.headless: bool = False
+        self.quit: bool = False
+        self.title: str = "ShaderFlow"
+        self.fullscreen: bool = False
+        self.exclusive: bool = False
+        self.visible: bool = False
+
+        # Interaction state
+        self.mouse_gluv: tuple[float, float] = (0.0, 0.0)
+        self.mouse_inside: bool = False
+        self.mouse_buttons: dict[int, bool] = {k: False for k in range(1, 6)}
+        self.render_ui: bool = False
+
+        self.scheduler = Scheduler()
+        self.vsync = None
+        self.ffmpeg = FFmpeg()
+        self.engine: Optional[RenderEngine] = None
+
+        self.frametimer: Optional[ShaderFrametimer] = None
+        self.keyboard: Optional[ShaderKeyboard] = None
+        self.camera = None
+        self.shader: Optional[ShaderProgram] = None
+        self._final: Optional[ShaderProgram] = None
+        self._initialized = False
+
+        super().__init__(scene=None, **kwargs)
+        self.name = self.name or type(self).__name__
+
+    # ------------------------------------------------------------------ #
+    # Initialization (reference scene.py:128-195)
+
+    def initialize(self) -> None:
+        if self._initialized:
+            return
+        from shaderflow_tpu.camera import ShaderCamera
+
+        logger.info(f"Initializing scene {self.name} with backend {self.backend}")
+        self.frametimer = ShaderFrametimer(scene=self)
+        self.keyboard = ShaderKeyboard(scene=self)
+        self.camera = ShaderCamera(scene=self)
+
+        # SSAA downsampler target (u8 RGB at the output resolution) and the
+        # main screen program, in this order — the engine renders reversed.
+        self._final = ShaderProgram(scene=self, name="iFinal")
+        self._final.texture.components = 3
+        self._final.texture.dtype = np.uint8
+        self._final.texture.final = True
+        self._final.texture.track = 1.0
+        self.shader = ShaderProgram(scene=self, name="iScreen")
+        self.shader.texture.repeat(False)
+        self.shader.texture.track = 1.0
+
+        self.engine = RenderEngine(self)
+        self._initialized = True
+        self.build()
+
+    def invalidate_engine(self) -> None:
+        if self.engine is not None:
+            self.engine.invalidate()
+
+    # ------------------------------------------------------------------ #
+    # Temporal model (reference scene.py:220-281)
+
+    @property
+    def tau(self) -> float:
+        return (self.time / self.runtime) % 1.0
+
+    @property
+    def cycle(self) -> float:
+        return self.tau * math.tau
+
+    @property
+    def frametime(self) -> float:
+        return 1.0 / self.fps
+
+    @frametime.setter
+    def frametime(self, value: float) -> None:
+        self.fps = 1.0 / value
+
+    @property
+    def frame(self) -> int:
+        return round(self.time * self.fps)
+
+    @frame.setter
+    def frame(self, value: int) -> None:
+        self.time = value / self.fps
+
+    @property
+    def duration(self) -> float:
+        return self.runtime
+
+    @property
+    def max_duration(self) -> float:
+        return max((module.duration or 0.0) for module in self.modules)
+
+    def set_duration(self, override: Optional[float] = None) -> float:
+        self.runtime = (override or self.max_duration or self.runtime)
+        self.runtime /= self.speed
+        return self.runtime
+
+    # ------------------------------------------------------------------ #
+    # Resolution model (reference scene.py:316-437)
+
+    @property
+    def width(self) -> int:
+        return self._width
+
+    @width.setter
+    def width(self, value: int) -> None:
+        self.resize(width=value)
+
+    @property
+    def height(self) -> int:
+        return self._height
+
+    @height.setter
+    def height(self, value: int) -> None:
+        self.resize(height=value)
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return (self._width, self._height)
+
+    @resolution.setter
+    def resolution(self, value: tuple[int, int]) -> None:
+        self.resize(*value)
+
+    @property
+    def ssaa(self) -> float:
+        """Fractional supersampling factor; O(N^2) device cost."""
+        return self._ssaa
+
+    @ssaa.setter
+    def ssaa(self, value: float) -> None:
+        self._ssaa = max(0.01, float(value))
+        self.relay(ShaderMessage.Shader.RecreateTextures)
+        self.invalidate_engine()
+
+    @property
+    def render_resolution(self) -> tuple[int, int]:
+        return (int(self._width * self._ssaa), int(self._height * self._ssaa))
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self._aspect_ratio or (self._width / self._height)
+
+    @aspect_ratio.setter
+    def aspect_ratio(self, value: Optional[Union[float, str]]) -> None:
+        if isinstance(value, str):
+            value = eval(value.replace(":", "/").capitalize())
+        if self._aspect_ratio == value:
+            return
+        self._aspect_ratio = value
+
+    @property
+    def components(self) -> int:
+        return self._final.texture.components
+
+    def resize(
+        self,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        ratio: Optional[Union[float, str]] = None,
+        bounds: Optional[tuple[int, int]] = None,
+        ssaa: Optional[float] = None,
+        scale: float = 1.0,
+    ) -> tuple[int, int]:
+        self.aspect_ratio = (ratio or self._aspect_ratio)
+        self._ssaa = (ssaa or self._ssaa)
+
+        resolution = Resolution.fit(
+            old=(self._width, self._height),
+            new=(width, height),
+            max=bounds,
+            ar=self._aspect_ratio,
+            scale=scale,
+        )
+        if resolution != (self._width, self._height):
+            self._width, self._height = resolution
+            self.relay(ShaderMessage.Shader.RecreateTextures)
+            self.invalidate_engine()
+            logger.info(f"Resized Scene to {self.resolution}")
+        return self.resolution
+
+    # ------------------------------------------------------------------ #
+    # Frame stepping
+
+    def next(self, dt: float = 0.0) -> None:
+        """Advance one frame of host state: run every module's update() (the
+        pipeline may change), let the engine capture the frame, integrate
+        time last so frame zero renders at t=0 (scene.py:456-479)."""
+        for module in self.modules:
+            if not isinstance(module, ShaderProgram):
+                module.update()
+        # ShaderPrograms have no host-side work; rendering happens in the
+        # batched device program. Hot reload is polled in realtime mode only.
+        if self.realtime:
+            for module in self.modules:
+                if isinstance(module, ShaderProgram):
+                    module.poll_hot_reload()
+            self.scheduler.all_once()
+
+        if self.engine is not None:
+            self.engine.capture_frame()
+
+        if self.vsync is not None:
+            self.vsync.fps = self.fps
+        self.dt = dt * self.speed
+        self.rdt = dt
+        self.time += self.dt
+
+    def screenshot(self) -> np.ndarray:
+        """Render the current frame once; (H, W, 3) uint8."""
+        self.engine.begin_batch()
+        saved = (self.time, self.dt, self.rdt)
+        self.next(dt=0.0)
+        self.time, self.dt, self.rdt = saved
+        frames = self.engine.flush(1)
+        return np.asarray(frames[0])
+
+    # ------------------------------------------------------------------ #
+    # Main entry point (reference scene.py:493-639 flag surface)
+
+    def main(
+        self,
+        *,
+        width: Optional[int] = 1920,
+        height: Optional[int] = 1080,
+        scale: float = 1.0,
+        ratio: Optional[Union[float, str]] = None,
+        fps: float = 60.0,
+        frameskip: bool = True,
+        fullscreen: bool = False,
+        quality: float = 50.0,
+        ssaa: float = 1.0,
+        subsample: int = 2,
+        output: Optional[Union[Path, str]] = None,
+        time: Optional[float] = None,
+        speed: float = 1.0,
+        freewheel: bool = False,
+        raw: bool = False,
+        turbo: bool = True,
+        buffers: int = 5,
+        batch: Optional[int] = None,
+    ) -> Optional[Union[Path, bytes]]:
+        """Render the scene: realtime preview, or export when output is set."""
+        self.initialize()
+        self.exporting = bool(output)
+        self.freewheel = (self.exporting or freewheel)
+        self.headless = self.freewheel
+        self.realtime = not self.headless
+        self.title = f"ShaderFlow • {self.name}"
+        self.subsample = int(subsample)
+        self.quality = float(quality)
+        self.fullscreen = fullscreen
+        self.speed = float(speed)
+        self.fps = float(fps)
+        self.time = 0.0
+        self.dt = 0.0
+        self.rdt = 0.0
+        self.relay(ShaderMessage.Shader.Compile)
+        self.scheduler.clear()
+
+        final_width, final_height = self.resize(
+            width=width, height=height, ratio=ratio, scale=scale)
+
+        for module in self.modules:
+            module.setup()
+
+        self.set_duration(eval(time) if isinstance(time, str) else time)
+
+        # Raw mode (or downscale SSAA): export native render-resolution
+        # frames and skip the device downsample (scene.py:591-594 behavior:
+        # the encoder rescales instead)
+        if self.freewheel and (raw or ssaa < 1):
+            self._ssaa = float(ssaa)
+            self.resize(*self.render_resolution, scale=1, ssaa=1)
+        else:
+            self.ssaa = ssaa
+
+        export = ExportingHelper(self)
+        if self.freewheel:
+            export.make_sink(output, width=final_width, height=final_height,
+                             turbo=turbo, buffers=buffers)
+        if self.freewheel:
+            export.open_bar()
+
+        if self.realtime:
+            return self._realtime_loop(frameskip)
+        return self._export_loop(export, batch)
+
+    # -- export (freewheel) hot loop ----------------------------------------
+
+    def default_batch_size(self) -> int:
+        """Frames per device launch: bounded by output size so streamed
+        texture stacks stay modest; small scenes batch more."""
+        pixels = self._width * self._height
+        return int(np.clip(2 ** 24 // max(1, pixels), 1, 64))
+
+    def _export_loop(self, export: ExportingHelper, batch: Optional[int]):
+        total = export.total_frames
+        size = int(batch or self.default_batch_size())
+        pending = None
+
+        frame_index = 0
+        while frame_index < total and not self.quit:
+            count = min(size, total - frame_index)
+            self.engine.begin_batch()
+            for _ in range(count):
+                self.next(dt=self.frametime)
+            frames = self.engine.flush(count, pad_to=size)
+
+            # Overlap: fetch/encode batch k-1 while the device renders batch k
+            if pending is not None:
+                export.pipe_batch(np.asarray(pending))
+            pending = frames
+            frame_index += count
+
+        if pending is not None:
+            export.pipe_batch(np.asarray(pending))
+
+        result = export.finish()
+        export.log_stats(output=result)
+        return result
+
+    # -- realtime loop -------------------------------------------------------
+
+    def _realtime_loop(self, frameskip: bool) -> None:
+        preview = None
+        if self.backend == WindowBackend.Preview:
+            try:
+                import cv2
+                preview = cv2
+                cv2.namedWindow(self.title, cv2.WINDOW_NORMAL)
+            except Exception:
+                preview = None
+
+        self.vsync = self.scheduler.new(
+            task=self._realtime_frame,
+            frequency=self.fps,
+            frameskip=frameskip,
+            precise=True,
+        )
+        self._preview = preview
+        while self.scheduler.next() is not None:
+            if self.quit:
+                break
+        if preview is not None:
+            preview.destroyAllWindows()
+
+    def _realtime_frame(self, dt: float = 0.0) -> None:
+        self.engine.begin_batch()
+        self.next(dt=dt)
+        frames = self.engine.flush(1)
+        if getattr(self, "_preview", None) is not None:
+            cv2 = self._preview
+            frame = np.asarray(frames[0])
+            cv2.imshow(self.title, frame[..., ::-1])
+            key = cv2.waitKey(1) & 0xFF
+            if key == 27:  # ESC
+                self.quit = True
+            elif key != 255:
+                self.relay(ShaderMessage.Keyboard.KeyDown(key=key))
+        else:
+            np.asarray(frames)  # realize the computation for honest pacing
+
+    # ------------------------------------------------------------------ #
+    # Module protocol
+
+    def handle(self, message: Any) -> None:
+        if isinstance(message, ShaderMessage.Window.Close):
+            self.quit = True
+
+        elif isinstance(message, ShaderMessage.Keyboard.KeyDown):
+            if message.key == ShaderKeyboard.Keys.O:
+                logger.info("(O  ) Resetting the scene")
+                for module in self.modules:
+                    module.setup()
+                self.time = 0
+                if self.engine is not None:
+                    self.engine.reset_carry()
+            elif message.key == ShaderKeyboard.Keys.R:
+                logger.info("(R  ) Reloading shaders")
+                self.relay(ShaderMessage.Shader.Compile)
+            elif message.key == ShaderKeyboard.Keys.TAB:
+                self.render_ui = not self.render_ui
+
+        elif isinstance(message, (ShaderMessage.Mouse.Drag, ShaderMessage.Mouse.Position)):
+            self.mouse_gluv = (message.u, message.v)
+
+    def pipeline(self) -> Iterable[ShaderVariable]:
+        """Global uniforms every shader sees (scene.py:687-703 set)."""
+        yield Uniform("int", "iLayer", None)  # injected per layer by the engine
+        yield Uniform("float", "iTime", self.time)
+        yield Uniform("float", "iTau", self.tau)
+        yield Uniform("float", "iDuration", self.duration)
+        yield Uniform("float", "iDeltatime", self.dt)
+        yield Uniform("vec2", "iResolution", self.resolution)
+        yield Uniform("float", "iWantAspect", self.aspect_ratio)
+        yield Uniform("float", "iQuality", self.quality / 100)
+        yield Uniform("float", "iSSAA", self.ssaa)
+        yield Uniform("float", "iFramerate", self.fps)
+        yield Uniform("int", "iFrame", self.frame)
+        yield Uniform("bool", "iRealtime", self.realtime)
+        yield Uniform("vec2", "iMouse", self.mouse_gluv)
+        yield Uniform("bool", "iMouseInside", self.mouse_inside)
+        for i in range(1, 3):
+            yield Uniform("bool", f"iMouse{i}", self.mouse_buttons[i])
+
+    # ------------------------------------------------------------------ #
+
+    def destroy(self) -> None:
+        for module in self.modules:
+            if module is not self:
+                module.destroy()

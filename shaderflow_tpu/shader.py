@@ -1,0 +1,382 @@
+"""
+ShaderProgram — pixel programs compiled by XLA instead of a GL driver.
+
+Role-equivalent of the reference shader module
+(/root/reference/shaderflow/shader.py), redesigned for the TPU execution
+model: a "fragment shader" is a pure Python function `main(sf) -> rgba`
+operating on whole (H, W) coordinate arrays through the `Frag` context —
+the same vocabulary the reference's GLSL metaprogrammer injects (coordinate
+flavors, uniforms, samplers, camera) — and the engine traces it into the
+scene's single jitted frame-batch program (scene.py). What the reference
+does with GLSL source assembly + driver compilation (shader.py:190-239,324)
+becomes function composition + jax tracing; hot reload swaps the function
+and re-jits (shader.py:243-262); compile errors fall back to the animated
+"missing texture" program (shader.py:325-340) after dumping a report.
+
+A program owns a ShaderTexture (temporal x layers) it renders into; layer L
+can sample layers < L written this frame, programs can sample their own
+previous frames, and the temporal ring rolls after each program's render —
+bit-matching the reference's GL binding/rotation order.
+"""
+
+from __future__ import annotations
+
+import traceback
+from pathlib import Path
+from typing import Any, Callable, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+import shaderflow_tpu
+from shaderflow_tpu import logger
+from shaderflow_tpu import ops
+from shaderflow_tpu.message import ShaderMessage
+from shaderflow_tpu.module import ShaderModule
+from shaderflow_tpu.ops import cameralib
+from shaderflow_tpu.ops.sampling import Sampler2D
+from shaderflow_tpu.texture import ShaderTexture
+
+PixelFunction = Callable[["Frag"], Any]
+
+
+# --------------------------------------------------------------------------- #
+# Frag: everything a pixel program sees
+
+class Frag:
+    """The per-draw context handed to pixel programs.
+
+    Mirrors the variables the reference vertex shader + metaprogrammer give
+    every fragment shader (vertex/default.glsl:4-16 and the injected uniform
+    declarations): coordinate flavors as (H, W, 2) arrays, every pipeline
+    uniform by name, every texture as a named sampler, and the camera.
+    """
+
+    def __init__(
+        self,
+        coords: dict[str, Any],
+        uniforms: dict[str, Any],
+        statics: dict[str, Any],
+        textures: dict[str, Any],     # name -> (T, L, H, W, C) array
+        texture_meta: dict[str, Any],  # name -> ShaderTexture (sampling state)
+        layer: int = 0,
+        instance: int = 0,
+    ):
+        self._coords = coords
+        self._uniforms = uniforms
+        self._statics = statics
+        self._textures = textures
+        self._texture_meta = texture_meta
+        self.layer = layer
+        self.instance = instance
+        self._camera_cache: dict[str, cameralib.CameraRays] = {}
+
+    # -- coordinates --------------------------------------------------------
+
+    @property
+    def astuv(self): return self._coords["astuv"]
+    @property
+    def agluv(self): return self._coords["agluv"]
+    @property
+    def stuv(self): return self._coords["stuv"]
+    @property
+    def gluv(self): return self._coords["gluv"]
+    @property
+    def stxy(self): return self._coords["stxy"]
+    @property
+    def glxy(self): return self._coords["glxy"]
+    @property
+    def fragcoord(self): return self._coords["stxy"]
+
+    @property
+    def resolution(self):
+        return self._uniforms["iResolution"]
+
+    @property
+    def aspect_ratio(self):
+        """iAspectRatio: iResolution.x / iResolution.y (shaderflow.glsl:16)."""
+        res = self._uniforms["iResolution"]
+        return res[..., 0] / res[..., 1]
+
+    # -- uniforms -----------------------------------------------------------
+
+    def uniform(self, name: str, default=None):
+        if name in self._uniforms:
+            return self._uniforms[name]
+        if name in self._statics:
+            return self._statics[name]
+        if default is not None:
+            return default
+        raise KeyError(f"Unknown uniform {name!r}; known: {sorted(self._uniforms)}")
+
+    def __getattr__(self, name: str):
+        # Fallback attribute access: uniforms then textures (iTime, iAudioVolume, ...)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._uniforms:
+            return self._uniforms[name]
+        if name in self._statics:
+            return self._statics[name]
+        if name in self._textures:
+            return self.tex(name)
+        raise AttributeError(f"Frag has no uniform/texture {name!r}")
+
+    # -- textures -----------------------------------------------------------
+
+    def tex(self, name: str, temporal: int = 0, layer: int = -1) -> Sampler2D:
+        """Sampler for one texture box. tex('iScreen') is the newest box
+        (<name><T>x<L> naming parity: texture.py:354-368)."""
+        if name not in self._textures:
+            raise KeyError(f"Unknown texture {name!r}; known: {sorted(self._textures)}")
+        array = self._textures[name]
+        meta = self._texture_meta[name]
+        return Sampler2D(
+            array[temporal, layer],
+            linear=meta.linear,
+            repeat_x=meta.repeat_x,
+            repeat_y=meta.repeat_y,
+        )
+
+    def texture(self, sampler, uv):
+        """GLSL texture(): accepts a Sampler2D or a texture name."""
+        if isinstance(sampler, str):
+            sampler = self.tex(sampler)
+        return ops.sample(sampler, uv)
+
+    def texel_fetch(self, sampler, xy):
+        if isinstance(sampler, str):
+            sampler = self.tex(sampler)
+        return ops.texel_fetch(sampler, xy)
+
+    def _sampler(self, tex) -> Sampler2D:
+        return self.tex(tex) if isinstance(tex, str) else tex
+
+    def astexture(self, tex, astuv):
+        return ops.astexture(self._sampler(tex), astuv)
+
+    def stexture(self, tex, stuv):
+        return ops.stexture(self._sampler(tex), stuv)
+
+    def gtexture(self, tex, gluv, mirror: bool = False):
+        return ops.gtexture(self._sampler(tex), gluv, mirror)
+
+    def agtexture(self, tex, agluv, mirror: bool = False):
+        return ops.agtexture(self._sampler(tex), agluv, self.uniform("iWantAspect"), mirror)
+
+    # -- camera -------------------------------------------------------------
+
+    def get_camera(self, name: str = "iCamera") -> cameralib.CameraRays:
+        """GetCamera(name) equivalent (camera.glsl:132-155): wire the camera
+        module's uniforms into per-pixel ray generation."""
+        if name in self._camera_cache:
+            return self._camera_cache[name]
+        u, s = self._uniforms, self._statics
+        rays = cameralib.project(
+            gluv=self.gluv,
+            agluv=self.agluv,
+            mode=int(s.get(f"{name}Mode", cameralib.MODE_2D)),
+            projection=int(s.get(f"{name}Projection", cameralib.PROJECTION_PERSPECTIVE)),
+            position=u[f"{name}Position"],
+            right=u[f"{name}Right"],
+            up=u[f"{name}Upward"],
+            forward=u[f"{name}Forward"],
+            zoom=u[f"{name}Zoom"],
+            isometric=u[f"{name}Isometric"],
+            orbital=u[f"{name}Orbital"],
+            dolly=u[f"{name}Dolly"],
+            focal_length=u[f"{name}FocalLength"],
+            separation=u[f"{name}Separation"],
+            aspect=self.aspect_ratio,
+            want_aspect=u["iWantAspect"],
+            resolution=u["iResolution"],
+        )
+        self._camera_cache[name] = rays
+        return rays
+
+    @property
+    def camera(self) -> cameralib.CameraRays:
+        return self.get_camera()
+
+
+def make_coords(render_height: int, render_width: int, aspect: float) -> dict[str, jnp.ndarray]:
+    """Pixel-center coordinate grids over the render resolution, matching the
+    interpolated vertex outputs (vertex/default.glsl:8-16). Row 0 = top."""
+    x = (jnp.arange(render_width, dtype=jnp.float32) + 0.5) / render_width
+    y = 1.0 - (jnp.arange(render_height, dtype=jnp.float32) + 0.5) / render_height
+    astuv = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)
+    agluv = astuv * 2.0 - 1.0
+    gluv = agluv * jnp.array([aspect, 1.0], jnp.float32)
+    stuv = (gluv + 1.0) / 2.0
+    return dict(astuv=astuv, agluv=agluv, stuv=stuv, gluv=gluv)
+
+
+def finish_coords(coords: dict, resolution) -> dict:
+    """Add the pixel-space coordinates that depend on the iResolution uniform
+    (stxy has the reference's +1 offset, vertex/default.glsl:14)."""
+    resolution = jnp.asarray(resolution, jnp.float32)
+    coords = dict(coords)
+    coords["stxy"] = resolution * coords["astuv"] + 1.0
+    coords["glxy"] = coords["stxy"] - resolution / 2.0
+    return coords
+
+
+# --------------------------------------------------------------------------- #
+# Builtin fragment programs
+
+def default_fragment(sf: Frag):
+    """The welcome shader: neon hsv ring over a checkerboard with vignette —
+    functional port of fragment/default.glsl."""
+    cam = sf.camera
+    uv = cam.gluv
+    angle = ops.atan2(uv)
+    color = 0.3 + ops.hsv2rgb(ops.vec3(angle + (2 * ops.TAU * sf.iTau) - (ops.PI / 4), 1.0, 1.0))
+    circle = 1.333 * ops.length(uv) - 1.0
+    width = 2.0 * jnp.abs(1.0 / (circle * circle)) * 1e-4
+
+    grid = jnp.where(
+        (jnp.mod(jnp.floor(uv[..., 0] * 4.0) + jnp.floor(uv[..., 1] * 4.0), 2.0) > 0.5),
+        0.22, 0.20)[..., None]
+    base = jnp.where(circle[..., None] < 0.0, 0.18, grid)
+    rgb = base + width[..., None] * color
+
+    away = cam.astuv * (1.0 - cam.astuv[..., ::-1])
+    linear = 50.0 * (away[..., 0] * away[..., 1])
+    rgb = rgb * jnp.clip(jnp.power(jnp.maximum(linear, 0.0), 0.1), 0.0, 1.0)[..., None]
+
+    rgb = jnp.where(cam.out_of_bounds[..., None], 0.15, rgb)
+    return ops.vec4(rgb, 1.0)
+
+
+def missing_fragment(sf: Frag):
+    """Magenta checkerboard fallback shown when a program fails to build
+    (fragment/missing.glsl)."""
+    uv = sf.stuv + sf.iTime / 64.0
+    block = jnp.floor(8.0 * uv)
+    on = jnp.mod(block[..., 0] + block[..., 1], 2.0) == 0.0
+    rgb = jnp.where(on[..., None], jnp.array([1.0, 0.0, 1.0], jnp.float32) * (100.0 / 25.0), 0.0)
+    return ops.vec4(rgb, 0.2)
+
+
+# --------------------------------------------------------------------------- #
+
+def _is_pathlike(value) -> bool:
+    if isinstance(value, Path):
+        return True
+    if isinstance(value, str) and "\n" not in value and len(value) < 4096:
+        try:
+            return Path(value).exists()
+        except OSError:
+            return False
+    return False
+
+
+class ShaderProgram(ShaderModule):
+    """A pixel program + the texture matrix it renders into."""
+
+    instances: int = 1
+    clear: bool = True
+
+    def __init__(self, scene=None, name: Optional[str] = None, **kwargs):
+        self._fragment: Union[PixelFunction, str, Path, None] = None
+        self._resolved: Optional[PixelFunction] = None
+        self._watch_path: Optional[Path] = None
+        self._watch_mtime: float = 0.0
+        self.texture: Optional[ShaderTexture] = None
+        super().__init__(scene=scene, name=name, **kwargs)
+
+    def build(self) -> None:
+        self.texture = ShaderTexture(scene=self.scene, name=self.name, track=1.0)
+        self._fragment = default_fragment
+        self._resolved = default_fragment
+
+    # -- fragment source handling -------------------------------------------
+
+    @property
+    def fragment(self) -> Optional[PixelFunction]:
+        return self._resolved
+
+    @fragment.setter
+    def fragment(self, value: Union[PixelFunction, str, Path]) -> None:
+        self._fragment = value
+        self._watch_path = None
+        if _is_pathlike(value):
+            self._watch_path = Path(value)
+            self._watch_mtime = self._watch_path.stat().st_mtime
+        self.compile()
+
+    @staticmethod
+    def _load_source(source: str, origin: str) -> PixelFunction:
+        """Execute python shader source; it must define main(sf)."""
+        namespace: dict[str, Any] = {}
+        exec(compile(source, origin, "exec"), namespace)
+        main = namespace.get("main")
+        if not callable(main):
+            raise ValueError(f"Shader source {origin!r} does not define main(sf)")
+        return main
+
+    def compile(self) -> "ShaderProgram":
+        """Resolve the fragment into a callable; on failure dump a report and
+        fall back to the missing-texture program (never crash a session)."""
+        value = self._fragment
+        try:
+            if value is None:
+                self._resolved = default_fragment
+            elif callable(value):
+                self._resolved = value
+            elif _is_pathlike(value):
+                path = Path(value)
+                self._resolved = self._load_source(path.read_text(), str(path))
+            elif isinstance(value, str):
+                self._resolved = self._load_source(value, f"<{self.name}-fragment>")
+            else:
+                raise TypeError(f"Unsupported fragment source: {type(value)}")
+        except Exception as error:
+            self.dump_error(error)
+            self._resolved = missing_fragment
+        # The scene's batched render program must be rebuilt around the new fn
+        self.scene.invalidate_engine()
+        return self
+
+    def dump_error(self, error: Exception) -> None:
+        """ShaderDumper equivalent (reference shader.py:38-96): persist the
+        faulty source + traceback to the user log dir, log loudly."""
+        directory = shaderflow_tpu.directories.ensure().user_log_path
+        report = directory / f"{self.uuid}-error.md"
+        source = self._fragment if isinstance(self._fragment, str) else str(self._fragment)
+        report.write_text(
+            f"# Shader build error (module {self.uuid}, {self.name})\n\n"
+            f"```\n{traceback.format_exc()}\n```\n\n## Source\n\n```python\n{source}\n```\n")
+        logger.error(f"Error building shader {self.name}: {error}; "
+                     f"falling back to missing-texture shader (report: {report})")
+
+    def poll_hot_reload(self) -> bool:
+        """File-watch without a watchdog dependency: compare mtimes (called
+        from the realtime loop; export/freewheel never reloads, matching
+        shader.py:249-251)."""
+        if self._watch_path is None:
+            return False
+        try:
+            mtime = self._watch_path.stat().st_mtime
+        except OSError:
+            return False
+        if mtime != self._watch_mtime:
+            self._watch_mtime = mtime
+            self.scene.scheduler.once(self.compile)
+            return True
+        return False
+
+    # -- module hooks -------------------------------------------------------
+
+    def handle(self, message) -> None:
+        if isinstance(message, ShaderMessage.Shader.Compile):
+            self.compile()
+
+    def render_layer(self, ctx: Frag):
+        """Trace one layer of this program: returns (H, W, C) in sample space."""
+        out = self._resolved(ctx)
+        out = jnp.asarray(out, jnp.float32)
+        components = self.texture.components
+        if out.shape[-1] < components:
+            pad = jnp.ones(out.shape[:-1] + (components - out.shape[-1],), jnp.float32)
+            out = jnp.concatenate([out, pad], axis=-1)
+        return out[..., :components]
