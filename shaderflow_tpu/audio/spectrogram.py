@@ -1,0 +1,249 @@
+"""
+Spectrogram: natural-scale banded STFT feeding a shader texture.
+
+Role-equivalent of the reference spectrogram
+(/root/reference/shaderflow/audio/spectrogram.py): windowed rFFT over the
+last 2^n samples, pluggable magnitude (Amplitude/Power), volume
+(dBFS/Sqrt/Linear), window (hanning/hann-poisson/none) and interpolation
+(Dirac/Euler/Sinc) strategies, center frequencies on an Octave or MEL scale,
+a Whittaker-Shannon band-pass matrix mapping FFT bins to spectrogram bins,
+per-bin second-order smoothing, and a scrolling (length x bins) texture with
+an offset uniform. from_notes() builds piano-aligned bins.
+
+TPU-first restructuring (SURVEY.md §7.4): in offline exports, the ENTIRE
+trajectory of spectrogram columns is computed in one device program at the
+first frame — a batched rFFT + one dense (bins x fft_bins) MXU matmul + a
+lax.scan dynamics smoothing — and per-frame updates just copy the
+precomputed column into the texture. The realtime path falls back to the
+reference's per-frame CPU math with the same strategy functions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from shaderflow_tpu import logger
+from shaderflow_tpu.audio import BrokenAudio
+from shaderflow_tpu.module import ShaderModule
+from shaderflow_tpu.ops import dynamics as dyn
+from shaderflow_tpu.ops import spectral
+from shaderflow_tpu.ops.dynamics import DynamicNumber
+from shaderflow_tpu.piano.notes import PianoNote
+from shaderflow_tpu.texture import ShaderTexture
+from shaderflow_tpu.variable import ShaderVariable, Uniform
+
+# Strategy namespaces (API parity with the reference's class-of-functions)
+
+class FourierMagnitude:
+    Amplitude = staticmethod(spectral.magnitude_amplitude)
+    Power = staticmethod(spectral.magnitude_power)
+
+class FourierVolume:
+    dBFS = staticmethod(spectral.volume_dbfs)
+    Sqrt = staticmethod(spectral.volume_sqrt)
+    Linear = staticmethod(spectral.volume_linear)
+    dBFsTremx = staticmethod(spectral.volume_dbfs_tremx)
+
+class SpectrogramInterpolation:
+    Euler = staticmethod(spectral.interpolation_euler(end=1.2))
+    Dirac = staticmethod(spectral.interpolation_dirac)
+    Sinc = staticmethod(spectral.interpolation_sinc)
+    make_euler = staticmethod(spectral.interpolation_euler)
+
+class SpectrogramScale:
+    Octave = spectral.SCALE_OCTAVE
+    MEL = spectral.SCALE_MEL
+
+class SpectrogramWindow:
+    hanning = staticmethod(spectral.hanning)
+    hann_poisson = staticmethod(spectral.hann_poisson)
+    none = staticmethod(spectral.no_window)
+
+
+class BrokenSpectrogram:
+    """Core math: FFT sizing, band matrix, per-frame CPU fallback."""
+
+    def __init__(self, audio: Optional[BrokenAudio] = None, *, fft_n: int = 12,
+                 sample_rateio: int = 1):
+        self.audio = audio or BrokenAudio()
+        self.fft_n = int(fft_n)
+        self.sample_rateio = int(sample_rateio)
+        self.scale = SpectrogramScale.Octave
+        self.interpolation: Callable = SpectrogramInterpolation.Euler
+        self.magnitude: Callable = FourierMagnitude.Power
+        self.window: Callable = SpectrogramWindow.hanning
+        self.volume: Callable = FourierVolume.Sqrt
+        self.minimum_frequency: float = 20.0
+        self.maximum_frequency: float = 20000.0
+        self.spectrogram_bins: int = 1000
+        self._matrix_cache: Optional[np.ndarray] = None
+
+    # -- Fourier sizing ------------------------------------------------------
+
+    @property
+    def fft_size(self) -> int:
+        return int(2 ** self.fft_n * self.sample_rateio)
+
+    @property
+    def fft_bins(self) -> int:
+        return int(self.fft_size / 2 + 1)
+
+    @property
+    def fft_frequencies(self) -> np.ndarray:
+        return np.fft.rfftfreq(self.fft_size, 1 / (self.audio.samplerate * self.sample_rateio))
+
+    def fft(self) -> np.ndarray:
+        """Per-frame CPU path (realtime mode): windowed rFFT magnitude of the
+        rolling buffer's last 2^n samples."""
+        data = self.audio.get_last_n_samples(int(2 ** self.fft_n))
+        if self.sample_rateio != 1:
+            # Integer-factor resample via linear interpolation (no external dep)
+            n = data.shape[1] * self.sample_rateio
+            x_new = np.linspace(0, data.shape[1] - 1, n)
+            data = np.stack([np.interp(x_new, np.arange(data.shape[1]), ch) for ch in data])
+        window = self.window(self.fft_size)
+        return np.asarray(self.magnitude(np.fft.rfft(window * data))).astype(np.float32)
+
+    # -- Banding -------------------------------------------------------------
+
+    @property
+    def spectrogram_frequencies(self) -> np.ndarray:
+        return spectral.scale_frequencies(
+            self.minimum_frequency, self.maximum_frequency, self.spectrogram_bins, self.scale)
+
+    def spectrogram_matrix(self) -> np.ndarray:
+        """(bins x fft_bins) dense Whittaker-Shannon band matrix. Dense by
+        design: a single MXU matmul beats sparse scatter on TPU."""
+        if self._matrix_cache is None:
+            self._matrix_cache = spectral.band_matrix(
+                self.spectrogram_frequencies, self.fft_bins,
+                float(self.fft_frequencies[1]), self.interpolation)
+        return self._matrix_cache
+
+    def next_columns(self) -> np.ndarray:
+        """One frame's (channels, bins) spectrogram (CPU path)."""
+        return self.spectrogram_matrix().dot(self.fft().T).T
+
+    def from_notes(self, start, end, bins: int = 1000, piano: bool = False,
+                   tuning: float = 440) -> "BrokenSpectrogram":
+        start = PianoNote.get(start, tuning=tuning)
+        end = PianoNote.get(end, tuning=tuning)
+        logger.info(f"Making Spectrogram Piano Matrix from notes ({start.name} - {end.name})")
+        self.minimum_frequency = start.frequency
+        self.maximum_frequency = end.frequency
+        if not piano:
+            self.spectrogram_bins = bins
+        else:
+            # Advertised bins start and end exactly on notes
+            half_semitone = 2 ** (0.5 / 12)
+            self.spectrogram_bins = (end.note - start.note) + 1
+            self.minimum_frequency /= half_semitone
+            self.maximum_frequency *= half_semitone
+        self._matrix_cache = None
+        return self
+
+
+class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
+
+    def __init__(self, scene=None, name: str = "iSpectrogram", *,
+                 audio: Optional[BrokenAudio] = None, length: float = 5,
+                 smooth: bool = False, scrolling: bool = False,
+                 fft_n: int = 12, sample_rateio: int = 1, **kwargs):
+        BrokenSpectrogram.__init__(self, audio=audio, fft_n=fft_n, sample_rateio=sample_rateio)
+        self.length = length
+        self.smooth = smooth
+        self.scrolling = scrolling
+        self.offset = 0
+        self.dynamics = DynamicNumber(frequency=4, zeta=1, response=0, dtype=np.float32)
+        self.texture: Optional[ShaderTexture] = None
+        self._precomputed: Optional[np.ndarray] = None  # (F, bins, C) smoothed
+        self._frame_index = 0
+        ShaderModule.__init__(self, scene=scene, name=name, **kwargs)
+        self.texture = ShaderTexture(
+            scene=self.scene, name=self.name, dtype=np.float32, repeat_y=False)
+
+    @property
+    def length_samples(self) -> int:
+        return int(max(1, self.length * self.scene.fps))
+
+    def setup(self) -> None:
+        self.offset = 0
+        self._frame_index = 0
+        self._precomputed = None
+        self.dynamics.set(np.zeros((self.audio.channels, self.spectrogram_bins), np.float32))
+
+    # -- offline batched precompute -------------------------------------------
+
+    def _precompute(self) -> Optional[np.ndarray]:
+        """Whole-export spectrogram in one device program: batched STFT +
+        MXU band matmul + lax.scan smoothing. Returns (F, bins, C)."""
+        full = getattr(self.audio, "full_data", None)
+        if full is None and hasattr(self.audio, "load_full_file"):
+            full = self.audio.load_full_file()
+        if full is None:
+            return None
+
+        fps = self.scene.fps
+        total = max(1, round(self.scene.runtime * fps))
+        samplerate = self.audio.samplerate
+        ends = np.round(np.arange(total) * samplerate / fps).astype(np.int32)
+        offsets = ends - int(2 ** self.fft_n)
+        window = jnp.asarray(self.window(self.fft_size), jnp.float32)
+        matrix = jnp.asarray(self.spectrogram_matrix())
+
+        @jax.jit
+        def compute(audio, offsets):
+            banded = spectral.spectrogram_batch(
+                audio, offsets, self.fft_size, window, matrix,
+                magnitude=self.magnitude)                    # (F, C, bins)
+            flat = banded.reshape(total, -1)
+            smoothed = dyn.scan(flat, jnp.zeros(flat.shape[1]), 1.0 / fps,
+                                frequency=4.0, zeta=1.0, response=0.0)
+            return smoothed.reshape(banded.shape)
+
+        result = np.asarray(compute(jnp.asarray(full), jnp.asarray(offsets)))
+        logger.info(f"Precomputed {total} spectrogram frames on device "
+                    f"({self.spectrogram_bins} bins x {result.shape[1]} channels)")
+        return np.transpose(result, (0, 2, 1))  # (F, bins, C)
+
+    # -- per-frame update ------------------------------------------------------
+
+    def update(self) -> None:
+        self.texture.components = self.audio.channels
+        self.texture.filter = "linear" if self.smooth else "nearest"
+        self.texture.resolution = (self.length_samples, self.spectrogram_bins)
+
+        if self.scene.freewheel and self._precomputed is None:
+            self._precomputed = self._precompute()
+
+        self.offset = (self.offset + 1) % self.length_samples
+
+        if self._precomputed is not None:
+            index = min(self._frame_index, len(self._precomputed) - 1)
+            column = self._precomputed[index]               # (bins, C)
+        else:
+            row_shape = (self.audio.channels, self.spectrogram_bins)
+            if self.dynamics.value.shape != row_shape:
+                self.dynamics.set(np.zeros(row_shape, np.float32))
+            self.dynamics.next(target=self.next_columns(), dt=abs(self.scene.dt))
+            column = np.asarray(self.dynamics.value).T      # (bins, C)
+
+        self._frame_index += 1
+        self.texture.write(
+            data=column.reshape(self.spectrogram_bins, 1, self.audio.channels),
+            viewport=(self.offset, 0, 1, self.spectrogram_bins),
+        )
+
+    def pipeline(self):
+        yield Uniform("int", f"{self.name}Length", self.length_samples)
+        yield Uniform("int", f"{self.name}Bins", self.spectrogram_bins)
+        yield Uniform("float", f"{self.name}Offset", self.offset / self.length_samples)
+        yield Uniform("int", f"{self.name}Smooth", self.smooth)
+        yield Uniform("float", f"{self.name}Min", float(self.spectrogram_frequencies[0]))
+        yield Uniform("float", f"{self.name}Max", float(self.spectrogram_frequencies[-1]))
+        yield Uniform("bool", f"{self.name}Scroll", self.scrolling)

@@ -1,0 +1,132 @@
+"""
+Waveform oscilloscope bars.
+
+Role-equivalent of the reference waveform module
+(/root/reference/shaderflow/audio/waveform.py): the last `length` seconds of
+audio reduced into `length * samplerate` bars (Average / RMS / STD chunk
+reducers) written as a (points, 1, channels) texture.
+
+TPU-first: offline exports precompute all frames' bars in one batched device
+reduction (ops/spectral.waveform_batch); realtime reduces the rolling buffer
+per frame on the host.
+"""
+
+from __future__ import annotations
+
+import math
+from enum import Enum
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from shaderflow_tpu.audio import BrokenAudio
+from shaderflow_tpu.module import ShaderModule
+from shaderflow_tpu.ops import spectral
+from shaderflow_tpu.texture import ShaderTexture
+from shaderflow_tpu.variable import Uniform
+
+
+class WaveformReducer(Enum):
+    Average = "average"
+    RMS = "rms"
+    STD = "std"
+
+    @property
+    def fn(self):
+        return {
+            WaveformReducer.Average: spectral.waveform_average,
+            WaveformReducer.RMS: spectral.waveform_rms,
+            WaveformReducer.STD: spectral.waveform_std,
+        }[self]
+
+
+class ShaderWaveform(ShaderModule):
+
+    def __init__(self, scene=None, name: str = "iWaveform", *,
+                 audio: Optional[BrokenAudio] = None, length: float = 3,
+                 samplerate: float = 60, reducer: WaveformReducer = WaveformReducer.Average,
+                 smooth: bool = True, **kwargs):
+        self.audio = audio
+        self.length = length
+        self.samplerate = samplerate
+        self.reducer = WaveformReducer(reducer)
+        self.smooth = smooth
+        self.texture: Optional[ShaderTexture] = None
+        self._precomputed: Optional[np.ndarray] = None  # (F, points, C)
+        self._frame_index = 0
+        super().__init__(scene=scene, name=name, **kwargs)
+
+    def build(self) -> None:
+        self.texture = ShaderTexture(
+            scene=self.scene,
+            name=self.name,
+            filter=("linear" if self.smooth else "nearest"),
+            components=self.audio.channels,
+            width=self._points,
+            height=1,
+            dtype=np.float32,
+        ).repeat(False)
+
+    @property
+    def length_samples(self) -> int:
+        return int(max(1, self.length * self.scene.fps))
+
+    @property
+    def _points(self) -> int:
+        return int(self.length * self.samplerate)
+
+    @property
+    def chunk_size(self) -> int:
+        return max(1, int(self.length * self.audio.samplerate / self._points))
+
+    @property
+    def _offset(self) -> int:
+        return self.audio.tell % self.chunk_size
+
+    def setup(self) -> None:
+        self._precomputed = None
+        self._frame_index = 0
+
+    def _precompute(self) -> Optional[np.ndarray]:
+        full = getattr(self.audio, "full_data", None)
+        if full is None and hasattr(self.audio, "load_full_file"):
+            full = self.audio.load_full_file()
+        if full is None:
+            return None
+        fps = self.scene.fps
+        total = max(1, round(self.scene.runtime * fps))
+        sr = self.audio.samplerate
+        chunk = self.chunk_size
+        tells = np.round(np.arange(total) * sr / fps).astype(np.int64)
+        ends = tells - (tells % chunk)  # chunk-aligned cursor, as the reference
+
+        @jax.jit
+        def compute(audio, ends):
+            return spectral.waveform_batch(audio, ends, self._points, chunk, self.reducer.fn)
+
+        return np.asarray(compute(jnp.asarray(full), jnp.asarray(ends.astype(np.int32))))
+
+    def update(self) -> None:
+        self.texture.components = self.audio.channels
+
+        if self.scene.freewheel and self._precomputed is None:
+            self._precomputed = self._precompute()
+
+        if self._precomputed is not None:
+            index = min(self._frame_index, len(self._precomputed) - 1)
+            bars = self._precomputed[index]                   # (points, C)
+        else:
+            start = -int(self.chunk_size * self._points + self._offset + 1)
+            end = -int(self._offset + 1)
+            chunks = self.audio.data[:, start:end]
+            chunks = chunks.reshape(self.audio.channels, -1, self.chunk_size)
+            bars = np.ascontiguousarray(np.asarray(self.reducer.fn(chunks)).T)
+
+        self._frame_index += 1
+        self.texture.write(bars.reshape(1, self._points, self.audio.channels))
+
+    def pipeline(self):
+        yield Uniform("int", f"{self.name}Length", self.length_samples)

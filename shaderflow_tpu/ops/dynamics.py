@@ -110,6 +110,28 @@ class DynamicNumber:
     def _asarray(self, value) -> np.ndarray:
         return np.array(value, dtype=self.dtype)
 
+    @property
+    def value(self) -> np.ndarray:
+        return self._value
+
+    @value.setter
+    def value(self, new) -> None:
+        self._value = self._asarray(new)
+
+    @property
+    def target(self) -> np.ndarray:
+        return self._target
+
+    @target.setter
+    def target(self, new) -> None:
+        """Assignment coerces to ndarray (the attrs on_setattr converter in
+        the reference, dynamics.py:96-103); shape growth re-seeds the state."""
+        new = self._asarray(new)
+        if hasattr(self, "_target") and new.shape != self._value.shape:
+            self.set(new)
+            return
+        self._target = new
+
     def set(self, value, *, instant: bool = True) -> None:
         value = self._asarray(value)
         if instant or not hasattr(self, "value"):

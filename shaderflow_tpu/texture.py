@@ -261,8 +261,10 @@ class ShaderTexture(ShaderModule):
 
         if viewport is None:
             data = self._normalize(data).reshape(height, width, self._components)
-            # Full writes come in top-down (numpy convention)
-            target[...] = data
+            # GL write order: data row 0 is the BOTTOM row (v=0); our storage
+            # is top-down, so flip. from_numpy pre-flips so images stay
+            # top-down (texture.py:327-335 flipud parity).
+            target[...] = data[::-1]
         else:
             x, y, w, h = viewport
             data = self._normalize(data).reshape(h, w, self._components)
@@ -287,7 +289,7 @@ class ShaderTexture(ShaderModule):
         self._components = components
         self._dtype = data.dtype if data.dtype == np.uint8 else np.dtype(np.float32)
         self.make()
-        self.write(data)
+        self.write(np.flipud(data))  # net effect: image row 0 stays the top
         return self
 
     def from_image(self, image) -> "ShaderTexture":
