@@ -1,0 +1,472 @@
+"""
+Example scenes — the API surface tour.
+
+Python pixel-program equivalents of the reference's example set
+(/root/reference/examples/basic/demo.py + its GLSL shaders): Basic,
+ShaderToy, MultiShader, Multipass, MotionBlur, Dynamics, Video, Audio,
+Waveform, MusicBars, Visualizer (the flagship music visualizer), RayMarch,
+and Conway's Life. Assets are procedurally generated (examples/assets.py).
+
+Shaders are plain functions over the Frag context with the ops vocabulary —
+compare each to the same-named .frag in the reference to see the 1:1 math.
+"""
+
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+import assets
+
+from shaderflow_tpu import ops
+from shaderflow_tpu.dynamics import ShaderDynamics
+from shaderflow_tpu.message import ShaderMessage
+from shaderflow_tpu.ops import (
+    PI, TAU, clamp, gluv2stuv, hsv2rgb, length, mix, rotate2d, smoothstep,
+    stuv2gluv, vec2, vec3, vec4, zoom,
+)
+from shaderflow_tpu.scene import ShaderScene
+from shaderflow_tpu.shader import ShaderProgram
+from shaderflow_tpu.texture import ShaderTexture
+from shaderflow_tpu.variable import Uniform
+
+# ---------------------------------------------------------------------------- #
+
+class Basic(ShaderScene):
+    """Simplest ShaderScene (default neon-ring shader)"""
+
+
+# ---------------------------------------------------------------------------- #
+
+def shadertoy_frag(sf):
+    """The ShaderToy default: cosine rainbow (shadertoy.frag)."""
+    uv = sf.stuv
+    phase = sf.iTime + jnp.stack([uv[..., 0], uv[..., 1], uv[..., 0]], axis=-1)
+    col = 0.5 + 0.5 * jnp.cos(phase + jnp.array([0.0, 2.0, 4.0]))
+    return vec4(col, 1.0)
+
+
+class ShaderToy(ShaderScene):
+    """ShaderToy Default Shader"""
+
+    def build(self):
+        self.shader.fragment = shadertoy_frag
+
+
+# ---------------------------------------------------------------------------- #
+
+class MultiShader(ShaderScene):
+    """Basic scene with two shaders acting together"""
+
+    def build(self):
+        self.child = ShaderProgram(scene=self, name="child")
+        # Left screen green fading out; composited over a red ramp
+        self.child.fragment = lambda sf: vec4(0.0, 1.0 - sf.stuv[..., 0], 0.0, 1.0)
+
+        def main_frag(sf):
+            color = vec4(sf.stuv[..., 0], 0.0, 0.0, 1.0)
+            color = color + ops.with_alpha(sf.texture("child", sf.astuv), 0.0)
+            return ops.with_alpha(color, 1.0)
+        self.shader.fragment = main_frag
+
+
+# ---------------------------------------------------------------------------- #
+
+def _blur(sf, tex, stuv, radius, directions, steps):
+    """Walk in circles around the pixel and integrate samples
+    (multipass.frag blur())."""
+    color = jnp.zeros(stuv.shape[:-1] + (4,), jnp.float32)
+    weights = 0.0
+    for d in range(directions):
+        direction = TAU * d / directions
+        for s in range(1, steps):
+            walk = s / steps
+            offset = vec2(math.cos(direction), math.sin(direction)) * radius * walk / 2000.0
+            weight = 1.0 - (radius * walk / 2000.0) / radius
+            color = color + sf.texture(tex, stuv + offset) * weight
+            weights += weight
+    return color / weights
+
+
+class Multipass(ShaderScene):
+    """Multi layers done on a single shader"""
+
+    def build(self):
+        ShaderTexture(scene=self, name="background").from_image(assets.background_image())
+        self.shader.texture.layers = 2
+
+        def frag(sf):
+            if sf.iLayer == 0:
+                return sf.stexture("background", sf.stuv)
+            color = sf.texture(sf.tex("iScreen", 0, 0), sf.astuv)
+            inverted = ops.with_rgb(color, jnp.stack(
+                [1.0 - color[..., 0], color[..., 1], color[..., 2]], axis=-1))
+            blurred = _blur(sf, sf.tex("iScreen", 0, 0), sf.astuv, 5.0, 8, 8)
+            out = jnp.where(sf.gluv[..., 0:1] < 0, inverted, blurred)
+            return ops.with_alpha(out, 1.0)
+        self.shader.fragment = frag
+
+
+# ---------------------------------------------------------------------------- #
+
+class MotionBlur(ShaderScene):
+    """Poor man's Motion Blur (temporal texture ring average)"""
+
+    def build(self):
+        ShaderTexture(scene=self, name="background").from_image(assets.background_image())
+        self.shader.texture.temporal = 10
+        self.shader.texture.layers = 2
+
+        def frag(sf):
+            cam = sf.camera
+            uv = cam.stuv
+            if sf.iLayer == 0:
+                return sf.stexture("background", uv)
+            temporal = 10
+            color = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
+            for i in range(temporal):
+                # smoothstep on python constants, kept out of the trace
+                t = 1.0 - i / temporal
+                factor = t * t * (3.0 - 2.0 * t)
+                color = color + sf.texture(sf.tex("iScreen", i, 0), sf.astuv) * factor
+            return ops.with_alpha(2.0 * color / temporal, 1.0)
+        self.shader.fragment = frag
+
+
+# ---------------------------------------------------------------------------- #
+
+class Dynamics(ShaderScene):
+    """Second order system springing a zoom on a square wave"""
+
+    def build(self):
+        ShaderTexture(scene=self, name="background").from_image(assets.background_image())
+        self.dynamics = ShaderDynamics(scene=self, name="iShaderDynamics", frequency=4)
+        self.shader.fragment = lambda sf: sf.stexture(
+            "background", zoom(sf.stuv, 0.85 + 0.1 * sf.iShaderDynamics, vec2(0.5, 0.5)))
+
+    def update(self):
+        # This is how square waves are born in the digital world
+        self.dynamics.target = 0.5 * (1 + np.sign(np.sin(2 * math.pi * self.time * 0.5)))
+
+
+# ---------------------------------------------------------------------------- #
+
+class Video(ShaderScene):
+    """Video as a texture demo (generated test video when none provided)"""
+    path = None
+
+    def build(self):
+        from shaderflow_tpu.video import ShaderVideo
+        self.video = ShaderVideo(scene=self, path=self.path)
+
+        def frag(sf):
+            cam = sf.camera
+            return ops.with_alpha(sf.stexture("iVideo", cam.stuv), 1.0)
+        self.shader.fragment = frag
+
+
+# ---------------------------------------------------------------------------- #
+
+class Audio(ShaderScene):
+    """Basic audio processing (microphone volume as brightness)"""
+
+    def build(self):
+        from shaderflow_tpu.audio import ShaderAudio
+        self.audio = ShaderAudio(scene=self, name="iAudio")
+        self.audio.open_recorder()
+        self.shader.fragment = lambda sf: vec4(vec3(
+            jnp.broadcast_to(sf.iAudioVolume, sf.astuv.shape[:-1])), 1.0)
+
+
+# ---------------------------------------------------------------------------- #
+
+def waveform_frag(sf):
+    """Oscilloscope bars (waveform.frag)."""
+    wave = sf.texture("iWaveform", vec2(sf.astuv[..., 0], 0.0))[..., 0:2]
+    ay = jnp.abs(sf.gluv[..., 1])
+    r = jnp.where(ay < wave[..., 0], 1.0, 0.2)
+    g = jnp.where(ay < wave[..., 1], 1.0, 0.2)
+    b = jnp.where(ay < (wave[..., 0] + wave[..., 1]) / 2, 1.0, 0.2)
+    return vec4(r, g, b, 1.0)
+
+
+class Waveform(ShaderScene):
+    """Audio Waveform Oscilloscope demo"""
+    audio_file = None
+
+    def build(self):
+        from shaderflow_tpu.audio import ShaderAudio
+        from shaderflow_tpu.audio.waveform import ShaderWaveform
+        self.audio = ShaderAudio(scene=self, name="iAudio",
+                                 file=self.audio_file or assets.music_wav())
+        self.waveform = ShaderWaveform(scene=self, audio=self.audio, smooth=False)
+        self.shader.fragment = waveform_frag
+
+
+# ---------------------------------------------------------------------------- #
+
+def bars_frag(sf):
+    """Two-channel frequency bars (bars.frag)."""
+    cam = sf.camera
+    intensity = jnp.sqrt(sf.texture("iSpectrogram", sf.astuv[..., ::-1])[..., 0:2]) / 120.0
+    ax, ay = sf.astuv[..., 0], sf.astuv[..., 1]
+    rgb = jnp.zeros(ax.shape + (3,), jnp.float32)
+    rgb = rgb.at[..., 0].add(jnp.where(ay < intensity[..., 0], 1.0, 0.0))
+    rgb = rgb.at[..., 1].add(jnp.where(ay < intensity[..., 1], 1.0, 0.0))
+    rgb = rgb.at[..., 2].add(
+        jnp.where(ay < (intensity[..., 0] + intensity[..., 1]) / 2, 1.0, 0.0))
+    rgb = rgb.at[..., 2].add(0.4 * (intensity[..., 0] + intensity[..., 1]) * (1.0 - ay))
+    return vec4(rgb, 1.0)
+
+
+class MusicBars(ShaderScene):
+    """Basic music bars"""
+    audio_file = None
+
+    def build(self):
+        from shaderflow_tpu.audio import ShaderAudio
+        from shaderflow_tpu.audio.spectrogram import ShaderSpectrogram
+        from shaderflow_tpu.piano import PianoNote
+        self.audio = ShaderAudio(scene=self, name="iAudio",
+                                 file=self.audio_file or assets.music_wav())
+        self.spectrogram = ShaderSpectrogram(scene=self, audio=self.audio, length=0)
+        self.spectrogram.from_notes(
+            start=PianoNote.from_frequency(20.0),
+            end=PianoNote.from_frequency(18000.0),
+            piano=True,
+        )
+        self.shader.fragment = bars_frag
+
+
+# ---------------------------------------------------------------------------- #
+
+def visualizer_frag(sf):
+    """Radial bars music visualizer — the flagship scene (visualizer.frag)."""
+    cam = sf.camera
+    uv = cam.gluv
+    space = jnp.array([1.0, 11.0, 26.0]) / 255.0
+
+    # Background with audio-reactive drift + zoom
+    background_uv = zoom(
+        gluv2stuv(uv),
+        0.95 + 0.01 * jnp.sin(sf.iTime) - 0.02 * sf.iAudioVolume - 0.03,
+        vec2(0.5, 0.5))
+    background_uv = background_uv + 0.005 * vec2(
+        jnp.cos(sf.iTime * 3.25135), jnp.sin(sf.iTime * 1.153469))
+    color = sf.stexture("background", background_uv)
+
+    # Radial blur driven by audio volume (8 directions x 10 walks)
+    intensity = 0.01 * clamp(jnp.power(jnp.maximum(sf.iAudioVolume, 0.0), 2.5), 0.0, 0.3)
+    quality, directions = 10, 8
+    acc = color
+    for d in range(directions):
+        angle = TAU * d / directions
+        for s in range(1, quality + 1):
+            walk = s / quality
+            displacement = vec2(math.cos(angle), math.sin(angle)) * walk * intensity
+            acc = acc + sf.stexture("background", background_uv + displacement)
+    color = acc / (quality * directions)
+
+    # Blink on snare/kick
+    color = color * (1 + 5 * sf.iAudioSTD
+                     * jnp.power(clamp(length(sf.agluv) - 0.3, 0.0, 1.0), 6.0)[..., None])
+
+    # Music bars coordinates
+    music_uv = rotate2d(uv, -PI / 2)
+    music_uv = music_uv * (1 - 0.4 * jnp.power(jnp.abs(sf.iAudioVolume), 0.5))
+    radius = 0.17
+
+    circle = jnp.abs(ops.atan1n(music_uv))
+    freq = jnp.sqrt(
+        sf.texture("iSpectrogram", vec2(jnp.zeros_like(circle), circle))[..., 0:2] / 1000.0)
+    freq = freq * (0.05 + 3 * smoothstep(0.0, 2.0, circle))[..., None]
+
+    r = length(music_uv)
+    bar = jnp.where(music_uv[..., 1] < 0, freq[..., 0], freq[..., 1])
+    ring = radius + 0.5 * bar
+    rgb = color[..., 0:3]
+    inside = (r < radius)[..., None]
+    on_bar = (r < ring)[..., None]
+    rgb = jnp.where(
+        inside, rgb * 0.5,
+        jnp.where(
+            on_bar,
+            mix(rgb, jnp.ones(3), smoothstep(0.0, 1.0, 0.5 + bar)[..., None]),
+            rgb * jnp.power(jnp.maximum((r - ring) * 0.5, 1e-6), 0.05)[..., None]))
+
+    rgb = mix(rgb, space, smoothstep(0.0, 1.0, length(uv) / 20.0)[..., None])
+
+    # Vignette
+    vig = sf.astuv * (1.0 - sf.astuv[..., ::-1])
+    rgb = rgb * jnp.power(jnp.maximum(vig[..., 0] * vig[..., 1] * 20.0, 1e-6),
+                          0.1 + 0.15 * sf.iAudioVolume)[..., None]
+
+    # Out of bounds -> deep space color
+    rgb = jnp.where(cam.out_of_bounds[..., None], space, rgb)
+    color = vec4(rgb, 1.0)
+
+    # Waveform on top and bottom
+    wave = 0.2 * sf.texture("iWaveform", vec2(sf.astuv[..., 0], 0.0))[..., 0:2]
+    color = jnp.where((1 - sf.gluv[..., 1:2] < wave[..., 0:1]), color * 0.8, color)
+    color = jnp.where((1 + sf.gluv[..., 1:2] < wave[..., 1:2]), color * 0.8, color)
+    return ops.with_alpha(color, 1.0)
+
+
+class Visualizer(ShaderScene):
+    """Radial Bars Music Visualizer Scene"""
+    audio_file = None
+
+    def build(self):
+        from shaderflow_tpu.audio import ShaderAudio
+        from shaderflow_tpu.audio.spectrogram import ShaderSpectrogram
+        from shaderflow_tpu.audio.waveform import ShaderWaveform
+        from shaderflow_tpu.piano import PianoNote
+        self.audio = ShaderAudio(scene=self, name="iAudio",
+                                 file=self.audio_file or assets.music_wav())
+        self.waveform = ShaderWaveform(scene=self, audio=self.audio)
+        self.spectrogram = ShaderSpectrogram(scene=self, length=0, audio=self.audio,
+                                             smooth=False)
+        self.spectrogram.from_notes(
+            start=PianoNote.from_frequency(20.0),
+            end=PianoNote.from_frequency(14000.0),
+            piano=True,
+        )
+        self.back = ShaderTexture(scene=self, name="background").from_image(
+            assets.background_image())
+        self.shader.fragment = visualizer_frag
+
+    def handle(self, message):
+        ShaderScene.handle(self, message)
+        if isinstance(message, ShaderMessage.Window.FileDrop):
+            self.back.from_image(message.first)
+
+
+# ---------------------------------------------------------------------------- #
+
+def raymarch_frag(sf):
+    """Stacked boxes ray marcher (raymarch.frag)."""
+    MAX_STEPS, MAX_DIST, MIN_DIST = 100, 100.0, 0.001
+    cam = sf.camera
+    origin = cam.origin
+    forward = ops.normalize(cam.target - cam.origin)
+
+    def sd_scene(point):
+        sdf = jnp.full(point.shape[:-1], 2 * MAX_DIST, jnp.float32)
+        for i in range(2, 8):
+            sdf = ops.sd_union(sdf, ops.sd_box(point, vec3(0.0, 0.0, float(i)),
+                                               vec3(float(i - 1))))
+        return sdf
+
+    def body(_, state):
+        traveled, steps, done = state
+        point = origin + forward * traveled[..., None]
+        walk = sd_scene(point)
+        active = ~done
+        traveled = traveled + jnp.where(active, walk, 0.0)
+        steps = steps + active.astype(jnp.int32)
+        done = done | (walk < MIN_DIST) | (walk > MAX_DIST)
+        return traveled, steps, done
+
+    traveled = jnp.zeros(origin.shape[:-1], jnp.float32)
+    steps = jnp.zeros(origin.shape[:-1], jnp.int32)
+    done = jnp.zeros(origin.shape[:-1], bool)
+    traveled, steps, done = lax.fori_loop(0, MAX_STEPS, body, (traveled, steps, done))
+
+    col = 1.0 - jnp.sqrt(steps.astype(jnp.float32)) * 0.1
+    return vec4(col, col, col, 1.0)
+
+
+class RayMarch(ShaderScene):
+    """Ray Marching demo"""
+
+    def build(self):
+        self.shader.fragment = raymarch_frag
+
+
+# ---------------------------------------------------------------------------- #
+
+def life_simulation_frag(sf):
+    """Conway's Game of Life step (life/simulation.glsl): 3x3 neighborhood
+    from the previous frame (temporal slot 1), gated to every iLifePeriod
+    frames."""
+    size = sf.uniform("iLifeSize")
+    previous = sf.tex("iLife", 1, 0)
+    pixel = (sf.astuv * size).astype(jnp.int32)
+
+    near = jnp.zeros(pixel.shape[:-1], jnp.int32)
+    current = jnp.zeros(pixel.shape[:-1], jnp.int32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cell = (sf.texel_fetch(previous, pixel + jnp.array([dx, dy]))[..., 0]
+                    > 0.5).astype(jnp.int32)
+            if dx == 0 and dy == 0:
+                current = cell
+            else:
+                near = near + cell
+
+    # Survival: 2-3 neighbors; birth: exactly 3
+    alive = jnp.where(current == 1, ((near == 2) | (near == 3)), (near == 3))
+    stepped = alive.astype(jnp.float32)
+
+    hold = sf.texture(previous, sf.astuv)[..., 0]
+    out = jnp.where(jnp.mod(sf.iFrame, sf.uniform("iLifePeriod")) != 0, hold, stepped)
+    return out[..., None]
+
+
+def life_visuals_frag(sf):
+    """Temporal integration of the simulation states (life/visuals.glsl)."""
+    cam = sf.camera
+    uv = cam.stuv
+    colors = [ops.PALETTE_MAGMA_1, ops.PALETTE_MAGMA_2,
+              ops.PALETTE_MAGMA_3, ops.PALETTE_MAGMA_4]
+
+    exponent = 1.3
+    area = 1 / (exponent + 1)
+    life = sf.stexture(sf.tex("iLife", 0, 0), uv)[..., 0]
+    for i, factor in enumerate((0.8, 0.6, 0.4, 0.2), start=1):
+        life = life + (sf.stexture(sf.tex("iLife", i, 0), uv)[..., 0]
+                       * (factor ** exponent))
+    life = life / (5 * area)
+
+    rgb = ops.palette(life, *colors)
+    rgb = jnp.where(cam.out_of_bounds[..., None], colors[0], rgb)
+    return vec4(rgb, 1.0)
+
+
+class Life(ShaderScene):
+    """Conway's Game of Life"""
+
+    life_period: int = 6
+
+    def setup(self):
+        width, height = 192, 108
+        random = np.random.default_rng(0).integers(0, 2, (height, width)).astype(np.float32)
+        self.simulation.texture.size = (width, height)
+        self.simulation.texture.write(random, temporal=1)
+
+    def build(self):
+        self.simulation = ShaderProgram(scene=self, name="iLife")
+        self.simulation.texture.temporal = 10
+        self.simulation.texture.filter = "nearest"
+        self.simulation.texture.dtype = "f4"
+        self.simulation.texture.components = 1
+        self.simulation.texture.track = False
+        self.simulation.fragment = life_simulation_frag
+        self.shader.fragment = life_visuals_frag
+
+    def pipeline(self):
+        yield from ShaderScene.pipeline(self)
+        yield Uniform("int", "iLifePeriod", self.life_period)
+
+
+SCENES = [Basic, ShaderToy, MultiShader, Multipass, MotionBlur, Dynamics, Video,
+          Audio, Waveform, MusicBars, Visualizer, RayMarch, Life]
+
+if __name__ == "__main__":
+    from shaderflow_tpu.cli import launch
+    launch(SCENES)

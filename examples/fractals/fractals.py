@@ -1,0 +1,97 @@
+"""
+Fractal scenes — iteration-heavy pixels.
+
+Equivalents of the reference fractal examples
+(/root/reference/examples/fractals/): Mandelbrot (escape-time loop bounded
+by the quality parameter) and complex Tetration. The iteration counts are
+compile-time constants derived from the scene quality (a static uniform),
+so XLA unrolls/fuses the escape loop instead of tracing data-dependent
+Python control flow.
+"""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from shaderflow_tpu import ops
+from shaderflow_tpu.ops import cmul, cpow, vec2, vec4
+from shaderflow_tpu.scene import ShaderScene
+
+
+def mandelbrot_frag(sf):
+    """Escape-time Mandelbrot with magma palette (mandelbrot.frag)."""
+    cam = sf.camera
+    z0 = cam.gluv - vec2(0.5, 0.0)
+    c = z0
+
+    quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
+
+    def body(_, state):
+        z, iters, escaped = state
+        znew = cmul(z, z) + c
+        active = ~escaped
+        z = jnp.where(active[..., None], znew, z)
+        escaped = escaped | (ops.length(z) > 3.0)
+        iters = iters + active.astype(jnp.int32)
+        return z, iters, escaped
+
+    z = z0
+    iters = jnp.zeros(z.shape[:-1], jnp.int32)
+    escaped = ops.length(z) > 3.0
+    z, iters, escaped = lax.fori_loop(0, quality, body, (z, iters, escaped))
+
+    t = jnp.power(1.0 - iters.astype(jnp.float32) / quality, 20.0)
+    rgb = ops.palette_magma(t)
+    rgb = jnp.where(cam.out_of_bounds[..., None], ops.palette_magma(0.0), rgb)
+    return vec4(rgb, 1.0)
+
+
+class Mandelbrot(ShaderScene):
+    """Mandelbrot fractal"""
+
+    def build(self):
+        self.shader.fragment = mandelbrot_frag
+
+
+def tetration_frag(sf):
+    """Complex tetration fractal (tetration.frag): Z <- C^Z iterated."""
+    cam = sf.camera
+    c = cam.gluv
+    MAX_STEPS = 67
+
+    def body(_, state):
+        z, iters, escaped = state
+        znew = cpow(c, z)
+        active = ~escaped
+        z = jnp.where(active[..., None], znew, z)
+        escaped = escaped | (ops.cmag(z) > 100.0) | ~jnp.isfinite(ops.cmag(z))
+        iters = iters + active.astype(jnp.int32)
+        return z, iters, escaped
+
+    z = c
+    iters = jnp.zeros(c.shape[:-1], jnp.int32)
+    escaped = jnp.zeros(c.shape[:-1], bool)
+    z, iters, escaped = lax.fori_loop(0, MAX_STEPS, body, (z, iters, escaped))
+
+    k = iters.astype(jnp.float32) / MAX_STEPS
+    theta = ops.atan2n(z[..., 1], z[..., 0])
+    rgb = ops.hsv2rgb3(theta, 1.0, k)
+    return vec4(rgb, 1.0)
+
+
+class Tetration(ShaderScene):
+    """Complex tetration fractal"""
+
+    def build(self):
+        self.shader.fragment = tetration_frag
+
+
+SCENES = [Mandelbrot, Tetration]
+
+if __name__ == "__main__":
+    from shaderflow_tpu.cli import launch
+    launch(SCENES)

@@ -1,0 +1,136 @@
+"""
+CLI launcher: `<file> <Scene> main --flags`.
+
+Role-equivalent of the reference's cyclopts/parsenaut launcher
+(/root/reference/shaderflow/__main__.py + scene.py:200-215): discovers
+ShaderScene subclasses, builds an argument parser from Scene.main's
+signature (so the flag surface IS the method signature), and exposes
+encoder selection (the reference's chainable codec subcommands) as
+--vcodec/--acodec options applied to the scene's FFmpeg builder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import inspect
+import sys
+import typing
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+from shaderflow_tpu import logger
+from shaderflow_tpu.scene import ShaderScene
+
+VCODECS = ("h264", "h264_nvenc", "h265", "h265_nvenc", "av1_svt", "av1_rav1e",
+           "av1_nvenc", "rawvideo", "copy_video", "no_video")
+ACODECS = ("aac", "mp3", "opus", "flac", "pcm", "copy_audio", "no_audio", "empty_audio")
+
+
+def _add_main_flags(parser: argparse.ArgumentParser) -> None:
+    """Mirror Scene.main's keyword arguments as CLI flags."""
+    signature = inspect.signature(ShaderScene.main, eval_str=True)
+    shorthand = {"width": "-w", "height": "-h", "scale": "-x", "ratio": "-r",
+                 "fps": "-f", "quality": "-q", "ssaa": "-s", "output": "-o",
+                 "time": "-t"}
+    for name, parameter in signature.parameters.items():
+        if name == "self":
+            continue
+        default = parameter.default
+        annotation = parameter.annotation
+        origin = typing.get_origin(annotation)
+        args = [f"--{name}"]
+        if name in shorthand:
+            args.append(shorthand[name])
+        if annotation is bool or isinstance(default, bool):
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(*args, dest=name, action="store_true", default=default)
+            group.add_argument(f"--no-{name}", dest=name, action="store_false")
+            continue
+        kind = str
+        for candidate in ((annotation,) if origin is None else typing.get_args(annotation)):
+            if candidate in (int, float):
+                kind = candidate
+                break
+        parser.add_argument(*args, dest=name, type=kind, default=default)
+
+
+def discover_scenes(path: Path) -> list[type]:
+    """Import a python file and collect its ShaderScene subclasses."""
+    spec = importlib.util.spec_from_file_location(path.stem, path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[path.stem] = module
+    spec.loader.exec_module(module)
+    scenes = []
+    for value in vars(module).values():
+        if (isinstance(value, type) and issubclass(value, ShaderScene)
+                and value is not ShaderScene):
+            scenes.append(value)
+    return scenes
+
+
+def launch(scenes: Sequence[type], argv: Optional[list[str]] = None):
+    """Dispatch `<Scene> main --flags` over a scene collection."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    names = {scene.__name__: scene for scene in scenes}
+
+    if not argv or argv[0] in ("-h", "--help"):
+        print("Available scenes:")
+        for name, scene in names.items():
+            print(f"  {name:<16} {inspect.getdoc(scene) or ''}")
+        print("\nUsage: <Scene> main [--flags] (see '<Scene> main --help')")
+        return None
+
+    scene_name = argv.pop(0)
+    if scene_name not in names:
+        logger.error(f"Unknown scene {scene_name!r}; available: {', '.join(names)}")
+        return None
+
+    command = argv.pop(0) if argv and not argv[0].startswith("-") else "main"
+    if command != "main":
+        logger.error(f"Unknown command {command!r} (only 'main' is supported)")
+        return None
+
+    parser = argparse.ArgumentParser(
+        prog=f"{scene_name} main",
+        description=inspect.getdoc(names[scene_name]),
+        add_help=False,
+    )
+    parser.add_argument("--help", action="help")
+    _add_main_flags(parser)
+    parser.add_argument("--vcodec", choices=VCODECS, default=None,
+                        help="Video codec (reference's chainable codec commands)")
+    parser.add_argument("--acodec", choices=ACODECS, default=None)
+    parser.add_argument("--crf", type=int, default=None, help="x264/x265 quality")
+    parser.add_argument("--preset", type=str, default=None, help="Encoder preset")
+    options = vars(parser.parse_args(argv))
+
+    vcodec = options.pop("vcodec")
+    acodec = options.pop("acodec")
+    crf = options.pop("crf")
+    preset = options.pop("preset")
+
+    scene = names[scene_name]()
+    if vcodec:
+        extra = {}
+        if crf is not None and vcodec in ("h264", "h265"):
+            extra["crf"] = crf
+        if preset is not None:
+            extra["preset"] = preset
+        getattr(scene.ffmpeg, vcodec)(**extra)
+    if acodec:
+        getattr(scene.ffmpeg, acodec)()
+    return scene.main(**options)
+
+
+def main(argv: Optional[list[str]] = None):
+    """`python -m shaderflow_tpu <file.py> <Scene> main --flags`."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("Usage: python -m shaderflow_tpu <scenes.py> <Scene> main [--flags]")
+        return None
+    path = Path(argv.pop(0))
+    if not path.exists():
+        logger.error(f"Scene file not found: {path}")
+        return None
+    return launch(discover_scenes(path), argv)

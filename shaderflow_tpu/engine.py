@@ -126,6 +126,11 @@ class RenderEngine:
         out_width, out_height = scene._final.texture.resolution
         subsample = int(scene.subsample)
         main_name = scene.shader.name
+        # After a program's temporal roll the just-rendered frame sits at
+        # slot 1 (slot 0 recycles the oldest box); the final pass must read
+        # the newest content, not the stale slot 0 the reference's naming
+        # would suggest for temporal > 1
+        main_slot = 1 if scene.shader.texture.temporal > 1 else 0
         statics = dict(self._statics)
         program_list = list(programs)
         meta_snapshot = dict(meta)
@@ -158,7 +163,7 @@ class RenderEngine:
                     textures[prog.name] = matrix
                     new_carry[prog.name] = matrix
 
-                source = textures[main_name][0, -1]
+                source = textures[main_name][main_slot, -1]
                 frame = final_pass(source, out_height, out_width, subsample)
                 return new_carry, frame
 

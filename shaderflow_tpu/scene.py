@@ -484,6 +484,11 @@ class ShaderScene(ShaderModule):
         yield Uniform("vec2", "iResolution", self.resolution)
         yield Uniform("float", "iWantAspect", self.aspect_ratio)
         yield Uniform("float", "iQuality", self.quality / 100)
+        # Static twin of iQuality for shaders that derive loop trip counts
+        # from it (e.g. fractal escape iterations): changing quality
+        # re-specializes the program instead of tracing a dynamic bound
+        from shaderflow_tpu.variable import StaticUniform
+        yield StaticUniform("float", "iQualityS", self.quality / 100)
         yield Uniform("float", "iSSAA", self.ssaa)
         yield Uniform("float", "iFramerate", self.fps)
         yield Uniform("int", "iFrame", self.frame)
