@@ -1,0 +1,79 @@
+"""
+Headline benchmark: music-visualizer export at 1080p60 with 2x SSAA.
+
+The BASELINE.json north star: export the bundled visualizer scene at
+1080p60, ssaa=2, and report frames/sec + realtime multiple. Acceptance is
+>=10x realtime on one v5e chip, so vs_baseline = realtime_multiple / 10
+(1.0 == target met).
+
+Prints exactly ONE JSON line on stdout; all logs go to stderr.
+Env knobs: BENCH_SECONDS (default 10), BENCH_WIDTH/HEIGHT/FPS/SSAA/BATCH,
+BENCH_SCENE (visualizer|bars|mandelbrot|raymarch|basic), JAX_PLATFORMS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "examples" / "basic"))
+sys.path.insert(0, str(REPO / "examples" / "fractals"))
+
+
+def main() -> None:
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    fps = float(os.environ.get("BENCH_FPS", 60.0))
+    ssaa = float(os.environ.get("BENCH_SSAA", 2.0))
+    batch = int(os.environ.get("BENCH_BATCH", 0)) or None
+    which = os.environ.get("BENCH_SCENE", "visualizer")
+
+    import demo
+    import fractals
+
+    scene_class = {
+        "visualizer": demo.Visualizer,
+        "bars": demo.MusicBars,
+        "basic": demo.Basic,
+        "raymarch": demo.RayMarch,
+        "mandelbrot": fractals.Mandelbrot,
+    }[which]
+
+    common = dict(width=width, height=height, fps=fps, ssaa=ssaa,
+                  batch=batch, output="null")
+
+    scene = scene_class()
+    # Warmup run: trace + compile + device warm caches
+    scene.main(time=max(2.0 / fps, 0.2), **common)
+
+    start = time.monotonic()
+    scene.main(time=seconds, **common)
+    took = time.monotonic() - start
+
+    frames = round(seconds * fps)
+    export_fps = frames / took
+    realtime = seconds / took
+
+    print(json.dumps({
+        "metric": f"{which} export fps @ {width}x{height}@{fps:.0f} ssaa={ssaa}",
+        "value": round(export_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(realtime / 10.0, 4),
+        "detail": {
+            "realtime_multiple": round(realtime, 2),
+            "frames": frames,
+            "seconds_content": seconds,
+            "seconds_wall": round(took, 2),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

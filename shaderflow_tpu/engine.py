@@ -43,6 +43,8 @@ class RenderEngine:
         self.stale = True
 
         self._jitted = None
+        self._render_fn = None  # unjitted closure (graft entry / sharding)
+        self._build_key = None
         self._carry: dict[str, jax.Array] = {}
         self._static_tex: dict[str, jax.Array] = {}
         self._static_versions: dict[str, int] = {}
@@ -84,7 +86,36 @@ class RenderEngine:
     # ------------------------------------------------------------------ #
     # Build
 
+    def _compute_build_key(self) -> tuple:
+        """Everything that specializes the compiled program. If unchanged, a
+        rebuild reuses the existing jitted callable (no retrace)."""
+        scene = self.scene
+        programs = self._programs()
+        statics = tuple(sorted(
+            (v.name, v.value) for v in scene.full_pipeline()
+            if v.static and v.value is not None))
+        textures = tuple(
+            (p.name, id(p.fragment), p.texture.resolution, p.texture.temporal,
+             p.texture.layers, p.texture.components, p.texture.filter,
+             p.texture.repeat_x, p.texture.repeat_y)
+            for p in programs)
+        return (textures, statics, scene._final.texture.resolution,
+                int(scene.subsample), scene.aspect_ratio,
+                tuple(sorted(self._streamed_names)))
+
     def build(self) -> None:
+        key = self._compute_build_key()
+        if key == self._build_key and self._jitted is not None:
+            # Only data changed (e.g. a Compile relay with identical programs):
+            # refresh device state, keep the compiled executable
+            self._refresh_static_textures()
+            for prog in self._programs():
+                if prog.texture.matrix is not None:
+                    self._carry[prog.name] = jax.numpy.asarray(prog.texture.matrix)
+            self.stale = False
+            return
+        self._build_key = key
+
         scene = self.scene
         programs = self._programs()
         externals = self._external_textures()
@@ -169,6 +200,7 @@ class RenderEngine:
 
             return jax.lax.scan(body, carry, (uniforms, streams))
 
+        self._render_fn = render_batch
         self._jitted = jax.jit(render_batch, donate_argnums=(0,))
         self.stale = False
         logger.debug(f"Engine built: {len(program_list)} programs, "
@@ -239,20 +271,13 @@ class RenderEngine:
     # ------------------------------------------------------------------ #
     # Flush: run the device program
 
-    def flush(self, count: Optional[int] = None, pad_to: Optional[int] = None):
-        """Render all captured frames; returns (F, H, W, 3) uint8 on device.
-
-        pad_to repeats the last frame to keep a stable batch shape (avoids a
-        retrace on the final partial batch); the padding is cropped off.
-        """
+    def stack_captures(self, count: Optional[int] = None, pad_to: Optional[int] = None):
+        """Stack the captured per-frame state into (F, ...) batch arrays."""
         count = count if count is not None else len(self._frame_uniforms)
-        if count == 0:
-            return None
         pad = (pad_to - count) if (pad_to and pad_to > count) else 0
 
-        names = self._frame_uniforms[0].keys()
         uniforms = {}
-        for name in names:
+        for name in self._frame_uniforms[0].keys():
             values = [frame[name] for frame in self._frame_uniforms]
             if pad:
                 values = values + [values[-1]] * pad
@@ -263,9 +288,20 @@ class RenderEngine:
             if pad:
                 frames = frames + [frames[-1]] * pad
             streams[name] = np.stack(frames)
+        return uniforms, streams
 
+    def flush(self, count: Optional[int] = None, pad_to: Optional[int] = None):
+        """Render all captured frames; returns (F, H, W, 3) uint8 on device.
+
+        pad_to repeats the last frame to keep a stable batch shape (avoids a
+        retrace on the final partial batch); the padding is cropped off.
+        """
+        count = count if count is not None else len(self._frame_uniforms)
+        if count == 0:
+            return None
+        uniforms, streams = self.stack_captures(count, pad_to)
         self._carry, frames_u8 = self._jitted(self._carry, uniforms, streams, self._static_tex)
-        return frames_u8[:count] if pad else frames_u8
+        return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
 
     # ------------------------------------------------------------------ #
 

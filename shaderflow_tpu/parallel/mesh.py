@@ -1,0 +1,65 @@
+"""
+Multi-chip scaling: shard the frame batch over an ICI device mesh.
+
+The reference is single-process/single-GPU (SURVEY.md §2 "Parallelism"):
+its only parallel axis is per-pixel on the GPU. On TPU pods the natural
+scaling axis of this domain is FRAMES — frames of an export are independent
+given their uniforms and audio textures (all tiny and replicated), so a
+batch of F frames shards F/N per chip over a 1D mesh with zero collectives
+in the hot loop; each chip runs the same scanned render program on its
+slice and the uint8 results gather on the hosts feeding the encoder.
+
+Caveat: temporal-feedback scenes (texture.temporal > 1, e.g. MotionBlur,
+Life) have a sequential dependency between frames; those scenes render
+frame-sequential on one chip (the scan carry) or shard the PIXEL rows
+instead (a future axis). `supports_frame_sharding` reports which applies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def frame_mesh(n_devices: Optional[int] = None, axis: str = "frames") -> Mesh:
+    """A 1D mesh over the first n devices."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    import numpy as np
+    return Mesh(np.array(devices), (axis,))
+
+
+def supports_frame_sharding(scene) -> bool:
+    """Frame-parallel rendering is exact iff no program carries temporal
+    state between frames."""
+    from shaderflow_tpu.shader import ShaderProgram
+    return all(
+        module.texture.temporal == 1
+        for module in scene.modules
+        if isinstance(module, ShaderProgram))
+
+
+def shard_frame_renderer(render_fn, mesh: Mesh, axis: str = "frames"):
+    """Wrap an engine render closure (carry, uniforms, streams, statics) ->
+    (carry, frames) into a frame-sharded SPMD program.
+
+    uniforms/streams shard on their leading (frame) axis; the carry and
+    static textures replicate. Each device runs its own local scan; the
+    per-device carries are discarded (frame sharding is only used for
+    feedback-free scenes), so the wrapper returns frames only.
+    """
+
+    def local(carry, uniforms, streams, statics):
+        _, frames = render_fn(carry, uniforms, streams, statics)
+        return frames
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -330,6 +330,31 @@ class ShaderScene(ShaderModule):
         batch: Optional[int] = None,
     ) -> Optional[Union[Path, bytes]]:
         """Render the scene: realtime preview, or export when output is set."""
+        final_width, final_height = self._setup_run(
+            width=width, height=height, scale=scale, ratio=ratio, fps=fps,
+            fullscreen=fullscreen, quality=quality, ssaa=ssaa,
+            subsample=subsample, output=output, time=time, speed=speed,
+            freewheel=freewheel, raw=raw)
+
+        export = ExportingHelper(self)
+        if self.freewheel:
+            export.make_sink(output, width=final_width, height=final_height,
+                             turbo=turbo, buffers=buffers)
+        if self.freewheel:
+            export.open_bar()
+
+        if self.realtime:
+            return self._realtime_loop(frameskip)
+        return self._export_loop(export, batch)
+
+    def _setup_run(self, *, width=1920, height=1080, scale=1.0, ratio=None,
+                   fps=60.0, fullscreen=False, quality=50.0, ssaa=1.0,
+                   subsample=2, output=None, time=None, speed=1.0,
+                   freewheel=False, raw=False) -> tuple[int, int]:
+        """Everything main() does before the loops: flags, compile relay,
+        resize, module setup, duration, SSAA/raw resolution policy. Also the
+        entry point for benchmarking/graft-entry code that drives the engine
+        directly."""
         self.initialize()
         self.exporting = bool(output)
         self.freewheel = (self.exporting or freewheel)
@@ -363,17 +388,7 @@ class ShaderScene(ShaderModule):
             self.resize(*self.render_resolution, scale=1, ssaa=1)
         else:
             self.ssaa = ssaa
-
-        export = ExportingHelper(self)
-        if self.freewheel:
-            export.make_sink(output, width=final_width, height=final_height,
-                             turbo=turbo, buffers=buffers)
-        if self.freewheel:
-            export.open_bar()
-
-        if self.realtime:
-            return self._realtime_loop(frameskip)
-        return self._export_loop(export, batch)
+        return (final_width, final_height)
 
     # -- export (freewheel) hot loop ----------------------------------------
 
