@@ -1,0 +1,97 @@
+"""Device-side camera ray math (ops/cameralib) against closed-form geometry."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shaderflow_tpu.ops import cameralib
+from shaderflow_tpu.shader import make_coords
+
+
+def default_params(**overrides):
+    params = dict(
+        mode=cameralib.MODE_2D,
+        projection=cameralib.PROJECTION_PERSPECTIVE,
+        position=jnp.zeros(3),
+        right=jnp.array([1.0, 0.0, 0.0]),
+        up=jnp.array([0.0, 1.0, 0.0]),
+        forward=jnp.array([0.0, 0.0, 1.0]),
+        zoom=1.0, isometric=0.0, orbital=0.0, dolly=0.0,
+        focal_length=1.0, separation=0.05,
+        aspect=2.0, want_aspect=2.0, resolution=jnp.array([64.0, 32.0]),
+    )
+    params.update(overrides)
+    return params
+
+
+def project(h=32, w=64, **overrides):
+    coords = make_coords(h, w, overrides.get("aspect", 2.0))
+    return cameralib.project(gluv=coords["gluv"], agluv=coords["agluv"],
+                             **default_params(**overrides))
+
+
+def test_perspective_center_ray():
+    rays = project()
+    cy, cx = 16, 32
+    # Center pixel: origin ~ position, target ~ forward * focal_length
+    np.testing.assert_allclose(np.asarray(rays.origin[cy, cx]), [0, 0, 0], atol=0.05)
+    direction = np.asarray(rays.ray_direction[cy, cx])
+    np.testing.assert_allclose(direction, [0, 0, 1], atol=0.05)
+
+
+def test_default_camera_plane_uv_identity():
+    """At the default camera, the plane-projected gluv equals the screen gluv
+    (the z=1 plane at focal length 1 with zoom 1)."""
+    coords = make_coords(32, 64, 2.0)
+    rays = cameralib.project(gluv=coords["gluv"], agluv=coords["agluv"], **default_params())
+    np.testing.assert_allclose(np.asarray(rays.gluv), np.asarray(coords["gluv"]), atol=1e-5)
+    assert not bool(np.asarray(rays.out_of_bounds).any())
+
+
+def test_zoom_scales_plane_uv():
+    rays = project(zoom=2.0)
+    coords = make_coords(32, 64, 2.0)
+    np.testing.assert_allclose(np.asarray(rays.gluv), 2 * np.asarray(coords["gluv"]), atol=1e-5)
+
+
+def test_out_of_bounds_when_looking_away():
+    rays = project(forward=jnp.array([0.0, 0.0, -1.0]))
+    # Plane z=1 is behind: every pixel out of bounds (t < 0)
+    assert bool(np.asarray(rays.out_of_bounds).all())
+
+
+def test_isometric_one_gives_parallel_rays():
+    rays = project(isometric=1.0)
+    directions = np.asarray(rays.ray_direction)
+    np.testing.assert_allclose(
+        directions, np.broadcast_to(directions[0, 0], directions.shape), atol=1e-5)
+
+
+def test_stereoscopic_splits_eyes():
+    rays = project(projection=cameralib.PROJECTION_STEREOSCOPIC)
+    origins = np.asarray(rays.origin)
+    # Left half displaced -separation, right half +separation on x
+    assert origins[16, 8, 0] < origins[16, 56, 0]
+
+
+def test_equirectangular_rays_unit_sphere():
+    rays = project(projection=cameralib.PROJECTION_EQUIRECTANGULAR)
+    directions = np.asarray(rays.target - rays.origin)
+    norms = np.linalg.norm(directions, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # Center looks forward
+    np.testing.assert_allclose(directions[16, 32], [0, 0, 1], atol=0.1)
+
+
+def test_orbital_displaces_origin_backwards():
+    rays = project(orbital=2.0)
+    np.testing.assert_allclose(np.asarray(rays.origin[16, 32]), [0, 0, -2.0], atol=0.05)
+
+
+def test_dolly_only_displaces_origin():
+    plain = project()
+    dolly = project(dolly=1.0)
+    np.testing.assert_allclose(np.asarray(dolly.origin[16, 32]), [0, 0, -1.0], atol=0.05)
+    # Target unchanged by dolly
+    np.testing.assert_allclose(np.asarray(dolly.target), np.asarray(plain.target), atol=1e-5)

@@ -1,0 +1,69 @@
+"""Multi-chip frame sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from shaderflow_tpu import ops
+from shaderflow_tpu.parallel import frame_mesh, shard_frame_renderer
+from shaderflow_tpu.parallel.mesh import supports_frame_sharding
+from shaderflow_tpu.scene import ShaderScene
+
+
+class Ramp(ShaderScene):
+    def build(self):
+        self.shader.fragment = lambda sf: ops.vec4(
+            jnp.broadcast_to(sf.iTime, sf.astuv.shape[:-1]),
+            sf.astuv[..., 0], sf.astuv[..., 1], 1.0)
+
+
+def _capture(scene, frames):
+    scene._setup_run(width=64, height=32, fps=10, time=frames / 10, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(frames):
+        scene.next(dt=scene.frametime)
+    uniforms, streams = engine.stack_captures(frames)
+    return engine, uniforms, streams
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_frame_sharded_render_matches_single_device():
+    frames = 16
+    scene = Ramp()
+    engine, uniforms, streams = _capture(scene, frames)
+
+    # Single-device reference
+    _, expected = jax.jit(engine._render_fn)(
+        engine._carry, uniforms, streams, engine._static_tex)
+    expected = np.asarray(expected)
+
+    mesh = frame_mesh(8)
+    renderer = shard_frame_renderer(engine._render_fn, mesh)
+    got = np.asarray(renderer(engine._carry, uniforms, streams, engine._static_tex))
+
+    assert got.shape == (frames, 32, 64, 3)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_supports_frame_sharding_detects_feedback():
+    scene = Ramp()
+    scene.initialize()
+    assert supports_frame_sharding(scene)
+    scene.shader.texture.temporal = 4
+    assert not supports_frame_sharding(scene)
+
+
+def test_output_is_frame_sharded():
+    """The sharded output's leading axis layout spans the mesh."""
+    frames = 8
+    scene = Ramp()
+    engine, uniforms, streams = _capture(scene, frames)
+    mesh = frame_mesh(8)
+    renderer = shard_frame_renderer(engine._render_fn, mesh)
+    out = renderer(engine._carry, uniforms, streams, engine._static_tex)
+    assert len(out.sharding.device_set) == 8
