@@ -102,6 +102,76 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     return top + (bottom - top) * fy
 
 
+def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array) -> Array:
+    """Axis-aligned grid sampling: u varies only along columns, v only along
+    rows -> two 1D interpolations (row gathers) instead of H*W*4 pointwise
+    gathers. Bit-identical to sample() on the meshgrid of (u_line, v_line).
+
+    This is the TPU fast path for affine scale+translate texture maps — the
+    common case for background images, zooms and SSAA-style resamples —
+    where 2D gathers would bottleneck the VPU.
+    """
+    h, w = tex.height, tex.width
+    u = u_line * w - 0.5
+    v = (1.0 - v_line) * h - 0.5
+
+    def axis_indices(x, n, repeat):
+        x0 = jnp.floor(x)
+        frac = (x - x0).astype(jnp.float32)
+        i0 = _wrap(x0.astype(jnp.int32), n, repeat)
+        i1 = _wrap(x0.astype(jnp.int32) + 1, n, repeat)
+        return i0, i1, frac
+
+    if not tex.linear:
+        iy = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, tex.repeat_y)
+        ix = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, tex.repeat_x)
+        return tex.data[iy][:, ix]
+
+    y0, y1, fy = axis_indices(v, h, tex.repeat_y)
+    x0, x1, fx = axis_indices(u, w, tex.repeat_x)
+
+    rows = tex.data[y0] + (tex.data[y1] - tex.data[y0]) * fy[:, None, None]  # (H', W, C)
+    left = rows[:, x0]
+    right = rows[:, x1]
+    return left + (right - left) * fx[None, :, None]                          # (H', W', C)
+
+
+def splat_kernel(offsets: Array, size: int) -> Array:
+    """Build a tap kernel from N continuous offsets by bilinear splatting:
+    K = sum_j hat(x - dx_j) (x) hat(y - dy_j). Sampling a texture at p + d_j
+    for all j and summing is EXACTLY applying this kernel around p then
+    sampling once at p (bilinear interpolation is linear in the texture).
+
+    Offsets are (N, 2) as (dx, dy) in ARRAY texel units: x right, y DOWN
+    (callers flip v-space offsets). `size` must be odd and
+    >= 2*ceil(max|offset|) + 3.
+    """
+    half = size // 2
+    grid = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    dx = offsets[:, 0:1]                              # (N, 1)
+    dy = offsets[:, 1:2]
+    hat_x = jnp.maximum(1.0 - jnp.abs(grid[None, :] - dx), 0.0)   # (N, size)
+    hat_y = jnp.maximum(1.0 - jnp.abs(grid[None, :] - dy), 0.0)
+    return jnp.einsum("ny,nx->yx", hat_y, hat_x)      # (size, size)
+
+
+def convolve2d(image: Array, kernel: Array) -> Array:
+    """Depthwise tap application: out[y, x] = sum_{dy,dx}
+    kernel[h2+dy, w2+dx] * image[y+dy, x+dx] (zero padding at edges).
+    This is cross-correlation — exactly the splat_kernel orientation."""
+    h, w, c = image.shape
+    kh, kw = kernel.shape
+    lhs = jnp.transpose(image, (2, 0, 1))[:, None]    # channels as batch: (C, 1, H, W)
+    rhs = kernel[None, None]                          # (O=1, I=1, kh, kw)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.transpose(out[:, 0], (1, 2, 0))
+
+
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
     """GLSL texelFetch: integer texel coordinates, x right / y up from the
     bottom-left (GL convention), no filtering, zero outside bounds."""

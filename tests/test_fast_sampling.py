@@ -1,0 +1,90 @@
+"""Fast-path sampling: separable grids and tap-kernel convolution must agree
+with brute-force per-pixel sampling (the correctness anchor for the
+visualizer's restructured hot path)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from shaderflow_tpu.ops.sampling import (
+    Sampler2D, convolve2d, sample, sample_separable, splat_kernel,
+)
+from shaderflow_tpu.ops.stdlib import vec2
+
+
+def random_tex(h=16, w=24, c=3, seed=0, **kwargs):
+    rng = np.random.default_rng(seed)
+    return Sampler2D(jnp.asarray(rng.uniform(size=(h, w, c)).astype(np.float32)), **kwargs)
+
+
+def test_separable_matches_pointwise_linear():
+    tex = random_tex(linear=True, repeat_x=True, repeat_y=False)
+    u = jnp.linspace(-0.2, 1.3, 33)
+    v = jnp.linspace(-0.1, 1.1, 17)
+    grid = jnp.stack(jnp.meshgrid(u, v, indexing="xy"), axis=-1)
+    expected = np.asarray(sample(tex, grid))
+    got = np.asarray(sample_separable(tex, u, v))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_separable_matches_pointwise_nearest():
+    tex = random_tex(linear=False, repeat_x=False, repeat_y=True)
+    u = jnp.linspace(0.01, 0.99, 19)
+    v = jnp.linspace(0.01, 0.99, 11)
+    grid = jnp.stack(jnp.meshgrid(u, v, indexing="xy"), axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(sample_separable(tex, u, v)),
+        np.asarray(sample(tex, grid)))
+
+
+def test_splat_kernel_integer_offsets():
+    kernel = np.asarray(splat_kernel(jnp.array([[1.0, -2.0], [0.0, 0.0]]), 7))
+    assert kernel.shape == (7, 7)
+    assert kernel[3, 3] == 1.0     # (0, 0)
+    assert kernel[1, 4] == 1.0     # dx=+1, dy=-2
+    assert kernel.sum() == 2.0
+
+
+def test_splat_kernel_fractional_weights():
+    kernel = np.asarray(splat_kernel(jnp.array([[0.5, 0.0]]), 5))
+    assert kernel[2, 2] == 0.5 and kernel[2, 3] == 0.5
+    np.testing.assert_allclose(kernel.sum(), 1.0, atol=1e-6)
+
+
+def test_kernel_conv_equals_multi_tap_sampling():
+    """sum_j Bilin(B, p + d_j) == Bilin(conv(B, splat(d_j)), p) for integer
+    texel offsets (exact); fractional offsets soften by < one texel."""
+    tex = random_tex(h=20, w=20, c=2, linear=True, repeat_x=False, repeat_y=False)
+    # Integer texel offsets in array units
+    offsets = jnp.array([[1.0, 0.0], [-2.0, 1.0], [0.0, -1.0]])
+    kernel = splat_kernel(offsets, 7)
+    blurred = Sampler2D(convolve2d(tex.data, kernel), linear=True,
+                        repeat_x=False, repeat_y=False)
+
+    # Sample somewhere central (away from zero-padding edge effects)
+    u = jnp.linspace(0.3, 0.7, 9)
+    v = jnp.linspace(0.3, 0.7, 9)
+    got = np.asarray(sample_separable(blurred, u, v))
+
+    expected = np.zeros_like(got)
+    for dx, dy in np.asarray(offsets):
+        # array-texel offset -> uv offset: du = dx/W, dv = -dy/H (v up)
+        du, dv = dx / 20.0, -dy / 20.0
+        grid = jnp.stack(jnp.meshgrid(u + du, v + dv, indexing="xy"), axis=-1)
+        expected += np.asarray(sample(tex, grid))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_convolve2d_identity():
+    tex = random_tex(h=8, w=8, c=4)
+    kernel = jnp.zeros((3, 3)).at[1, 1].set(1.0)
+    np.testing.assert_allclose(np.asarray(convolve2d(tex.data, kernel)),
+                               np.asarray(tex.data), atol=1e-6)
+
+
+def test_convolve2d_shift():
+    tex = random_tex(h=8, w=8, c=1)
+    # Tap at dx=+1: out[y,x] = image[y, x+1]
+    kernel = jnp.zeros((3, 3)).at[1, 2].set(1.0)
+    out = np.asarray(convolve2d(tex.data, kernel))
+    np.testing.assert_allclose(out[:, :-1], np.asarray(tex.data)[:, 1:], atol=1e-6)
