@@ -21,11 +21,17 @@ with the TPU-native execution model from SURVEY.md §7:
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+SKIP_TPU = os.environ.get("SKIP_TPU") == "1"
+"""Do not run device programs; frames come back black. The reference's
+SKIP_GPU kill-switch (shader.py:364-370) for benchmarking pure host-loop
+overhead (module updates, uniform capture, piping) in isolation."""
 
 from shaderflow_tpu import logger
 from shaderflow_tpu.ops.downsample import final_pass
@@ -299,6 +305,9 @@ class RenderEngine:
         count = count if count is not None else len(self._frame_uniforms)
         if count == 0:
             return None
+        if SKIP_TPU:
+            width, height = self.scene._final.texture.resolution
+            return np.zeros((count, height, width, 3), np.uint8)
         uniforms, streams = self.stack_captures(count, pad_to)
         self._carry, frames_u8 = self._jitted(self._carry, uniforms, streams, self._static_tex)
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
