@@ -33,6 +33,19 @@ SKIP_TPU = os.environ.get("SKIP_TPU") == "1"
 SKIP_GPU kill-switch (shader.py:364-370) for benchmarking pure host-loop
 overhead (module updates, uniform capture, piping) in isolation."""
 
+# Persistent compilation cache: scene programs are large (a whole frame
+# pipeline per trace) and this environment's TPU compiles remotely — cache
+# hits turn minute-scale warmups into milliseconds across processes/rounds.
+if not os.environ.get("SHADERFLOW_NO_COMPILE_CACHE"):
+    from pathlib import Path as _Path
+    _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or str(
+        _Path(__file__).resolve().parent.parent / ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from shaderflow_tpu import logger
 from shaderflow_tpu.ops.downsample import final_pass
 from shaderflow_tpu.shader import Frag, ShaderProgram, finish_coords, make_coords
@@ -262,9 +275,13 @@ class RenderEngine:
         for name, tex in self._external_textures().items():
             streamed = name in self._streamed_names
             if tex.dirty and not streamed:
-                # Texture became per-frame dynamic: promote to streamed
+                # Texture became per-frame dynamic: promote to streamed. The
+                # compiled closure handles streams generically, so refresh the
+                # build key in place instead of invalidating (a rebuild would
+                # retrace for nothing).
                 self._streamed_names.add(name)
                 self._static_tex.pop(name, None)
+                self._build_key = self._compute_build_key()
                 backfill = tex.matrix.copy()
                 self._frame_streams[name] = [backfill] * frame_index
                 streamed = True

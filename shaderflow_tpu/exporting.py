@@ -216,13 +216,22 @@ class ExportingHelper:
 
     # -- frame transport -----------------------------------------------------
 
-    def pipe_batch(self, frames: np.ndarray) -> None:
-        """Send one uint8 (F, H, W, 3) batch to the sink."""
+    def pipe_batch(self, frames) -> None:
+        """Send one uint8 (F, H, W, 3) batch to the sink. Accepts device
+        arrays; the host copy happens here (and is skipped entirely for
+        NullSink, which measures pure render throughput)."""
+        count = int(frames.shape[0])
         if self.sink is None:
-            self.update(int(frames.shape[0]))
+            self.update(count)
             return
-        self.sink.write_batch(frames)
-        self.update(int(frames.shape[0]))
+        if isinstance(self.sink, NullSink):
+            import jax
+            jax.block_until_ready(frames)
+            self.sink.frames += count
+            self.sink.bytes += int(np.prod(frames.shape))
+        else:
+            self.sink.write_batch(np.asarray(frames))
+        self.update(count)
 
     # -- finish --------------------------------------------------------------
 

@@ -545,6 +545,35 @@ class FFmpeg:
     def is_valid_video(path) -> bool:
         return FFmpeg.get_video_resolution(path) is not None
 
+    @staticmethod
+    def loop_video(path, *, times: int = 1, output=None) -> Optional[Path]:
+        """Loop a video N times without re-encoding (reference FFmpeg.loop,
+        ffmpeg.py:1088-1105)."""
+        path = Path(path)
+        if not path.exists() or times <= 1:
+            return path if path.exists() else None
+        output = Path(output or path)
+        looped = output.with_stem(f"{output.stem}-{times}-loops")
+        (FFmpeg(stream_loop=(times - 1)).quiet().copy_audio().copy_video()
+         .input(path).output(looped, pixel_format=None).run(check=True))
+        return looped.replace(output) or output
+
+    @staticmethod
+    def concat_segments(segments, output) -> Path:
+        """Concatenate export segments losslessly (the resume workflow:
+        re-render from frame k after a crash, then join)."""
+        output = Path(output)
+        listing = output.with_suffix(".concat.txt")
+        listing.write_text("".join(f"file '{Path(s).absolute()}'\n" for s in segments))
+        try:
+            subprocess.run(
+                (FFmpeg.binary() or "ffmpeg", "-hide_banner", "-loglevel", "error",
+                 "-f", "concat", "-safe", "0", "-i", str(listing),
+                 "-c", "copy", "-y", str(output)), check=True)
+        finally:
+            listing.unlink(missing_ok=True)
+        return output
+
     # -- audio probes -------------------------------------------------------
 
     @staticmethod

@@ -286,7 +286,7 @@ class ShaderScene(ShaderModule):
                     module.poll_hot_reload()
             self.scheduler.all_once()
 
-        if self.engine is not None:
+        if self.engine is not None and getattr(self, "_capture_enabled", True):
             self.engine.capture_frame()
 
         if self.vsync is not None:
@@ -328,8 +328,14 @@ class ShaderScene(ShaderModule):
         turbo: bool = True,
         buffers: int = 5,
         batch: Optional[int] = None,
+        start: float = 0.0,
     ) -> Optional[Union[Path, bytes]]:
-        """Render the scene: realtime preview, or export when output is set."""
+        """Render the scene: realtime preview, or export when output is set.
+
+        `start` resumes an export at a content time (seconds): freewheel
+        time is deterministic, so frame k is exactly reproducible — the
+        segment [start, duration) is rendered to the output and can be
+        concatenated after a crash (FFmpeg.concat_segments)."""
         final_width, final_height = self._setup_run(
             width=width, height=height, scale=scale, ratio=ratio, fps=fps,
             fullscreen=fullscreen, quality=quality, ssaa=ssaa,
@@ -345,7 +351,7 @@ class ShaderScene(ShaderModule):
 
         if self.realtime:
             return self._realtime_loop(frameskip)
-        return self._export_loop(export, batch)
+        return self._export_loop(export, batch, start_frame=round(start * self.fps))
 
     def _setup_run(self, *, width=1920, height=1080, scale=1.0, ratio=None,
                    fps=60.0, fullscreen=False, quality=50.0, ssaa=1.0,
@@ -398,10 +404,41 @@ class ShaderScene(ShaderModule):
         pixels = self._width * self._height
         return int(np.clip(2 ** 24 // max(1, pixels), 1, 64))
 
-    def _export_loop(self, export: ExportingHelper, batch: Optional[int]):
+    def _export_loop(self, export: ExportingHelper, batch: Optional[int],
+                     start_frame: int = 0):
         total = export.total_frames
         size = int(batch or self.default_batch_size())
         pending = None
+
+        # Resume: fast-forward module state to start_frame. Stateless scenes
+        # (no temporal feedback) replay host updates only; feedback scenes
+        # must render to rebuild their texture history (frames discarded).
+        if start_frame:
+            from shaderflow_tpu.parallel.mesh import supports_frame_sharding
+            stateless = supports_frame_sharding(self)
+            logger.info(f"Resuming export at frame {start_frame} "
+                        f"({'host replay' if stateless else 'render replay'})")
+            replayed = 0
+            while replayed < min(start_frame, total):
+                if stateless:
+                    self._capture_enabled = False
+                    self.next(dt=self.frametime)
+                    self._capture_enabled = True
+                    replayed += 1
+                else:
+                    count = min(size, start_frame - replayed)
+                    self.engine.begin_batch()
+                    for _ in range(count):
+                        self.next(dt=self.frametime)
+                    # No padding: padded frames would advance the temporal
+                    # carry past the resume point (a one-time retrace for the
+                    # remainder batch is fine)
+                    self.engine.flush(count)
+                    replayed += count
+            if export.bar is not None:
+                export.bar.total = max(1, total - start_frame)
+            export.frame = 0
+            total = total - start_frame
 
         frame_index = 0
         while frame_index < total and not self.quit:
@@ -413,12 +450,12 @@ class ShaderScene(ShaderModule):
 
             # Overlap: fetch/encode batch k-1 while the device renders batch k
             if pending is not None:
-                export.pipe_batch(np.asarray(pending))
+                export.pipe_batch(pending)
             pending = frames
             frame_index += count
 
         if pending is not None:
-            export.pipe_batch(np.asarray(pending))
+            export.pipe_batch(pending)
 
         result = export.finish()
         export.log_stats(output=result)
