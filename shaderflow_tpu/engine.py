@@ -69,6 +69,7 @@ class RenderEngine:
         self._static_versions: dict[str, int] = {}
         self._statics: dict[str, Any] = {}
         self._streamed_names: set[str] = set()
+        self._uniform_kinds: dict[str, str] = {}
 
         # Per-batch capture state
         self._frame_uniforms: list[dict[str, np.ndarray]] = []
@@ -185,9 +186,24 @@ class RenderEngine:
         program_list = list(programs)
         meta_snapshot = dict(meta)
 
-        def render_batch(carry, uniforms, streams, static_tex):
+        def unpack_uniforms(row, spec):
+            """Split one packed f32 row back into named uniform values.
+            `spec` is a static tuple of (name, offset, size, kind, shape);
+            kinds: 'f' float, 'i' int (round-trips exactly below 2^24),
+            'b' bool-as-int."""
+            out = {}
+            for name, offset, size, kind, shape in spec:
+                value = row[offset:offset + size]
+                value = value.reshape(shape) if shape else value[0]
+                if kind in ("i", "b"):
+                    value = jnp.round(value).astype(jnp.int32)
+                out[name] = value
+            return out
+
+        def render_batch(carry, packed, streams, static_tex, spec):
             def body(carry, per_frame):
-                frame_uniforms, frame_streams = per_frame
+                packed_row, frame_streams = per_frame
+                frame_uniforms = unpack_uniforms(packed_row, spec)
                 textures = dict(static_tex)
                 textures.update(frame_streams)
                 textures.update(carry)
@@ -217,10 +233,10 @@ class RenderEngine:
                 frame = final_pass(source, out_height, out_width, subsample)
                 return new_carry, frame
 
-            return jax.lax.scan(body, carry, (uniforms, streams))
+            return jax.lax.scan(body, carry, (packed, streams))
 
         self._render_fn = render_batch
-        self._jitted = jax.jit(render_batch, donate_argnums=(0,))
+        self._jitted = jax.jit(render_batch, donate_argnums=(0,), static_argnums=(4,))
         self.stale = False
         logger.debug(f"Engine built: {len(program_list)} programs, "
                      f"{len(self._static_tex)} static + {len(self._streamed_names)} streamed textures, "
@@ -265,6 +281,9 @@ class RenderEngine:
             if variable.type == "sampler2D":
                 continue
             uniforms[variable.name] = variable.coerce()
+            self._uniform_kinds[variable.name] = (
+                "i" if variable.type == "int" else
+                "b" if variable.type == "bool" else "f")
         if statics_changed:
             # A static (program-specializing) uniform changed mid-run; the
             # next batch rebuilds around the new value.
@@ -295,23 +314,41 @@ class RenderEngine:
     # Flush: run the device program
 
     def stack_captures(self, count: Optional[int] = None, pad_to: Optional[int] = None):
-        """Stack the captured per-frame state into (F, ...) batch arrays."""
+        """Stack the captured per-frame state into batch arrays.
+
+        All scalar/vector uniforms pack into ONE (F, K) float32 matrix (one
+        host->device transfer instead of one per uniform — transfer latency
+        is per-array) plus a static unpack spec; streamed textures stack per
+        name. Returns (packed, spec, streams)."""
         count = count if count is not None else len(self._frame_uniforms)
         pad = (pad_to - count) if (pad_to and pad_to > count) else 0
+        frames = self._frame_uniforms
+        if pad:
+            frames = frames + [frames[-1]] * pad
 
-        uniforms = {}
-        for name in self._frame_uniforms[0].keys():
-            values = [frame[name] for frame in self._frame_uniforms]
-            if pad:
-                values = values + [values[-1]] * pad
-            uniforms[name] = np.stack(values)
+        names = sorted(frames[0].keys())
+        spec = []
+        offset = 0
+        for name in names:
+            value = np.asarray(frames[0][name])
+            size = int(value.size)
+            shape = value.shape if value.ndim else ()
+            spec.append((name, offset, size, self._uniform_kinds.get(name, "f"), shape))
+            offset += size
+        packed = np.empty((len(frames), offset), np.float32)
+        for row, frame in enumerate(frames):
+            position = 0
+            for name in names:
+                value = np.asarray(frame[name], np.float32).reshape(-1)
+                packed[row, position:position + value.size] = value
+                position += value.size
 
         streams = {}
-        for name, frames in self._frame_streams.items():
+        for name, snapshots in self._frame_streams.items():
             if pad:
-                frames = frames + [frames[-1]] * pad
-            streams[name] = np.stack(frames)
-        return uniforms, streams
+                snapshots = snapshots + [snapshots[-1]] * pad
+            streams[name] = np.stack(snapshots)
+        return packed, tuple(spec), streams
 
     def flush(self, count: Optional[int] = None, pad_to: Optional[int] = None):
         """Render all captured frames; returns (F, H, W, 3) uint8 on device.
@@ -325,8 +362,9 @@ class RenderEngine:
         if SKIP_TPU:
             width, height = self.scene._final.texture.resolution
             return np.zeros((count, height, width, 3), np.uint8)
-        uniforms, streams = self.stack_captures(count, pad_to)
-        self._carry, frames_u8 = self._jitted(self._carry, uniforms, streams, self._static_tex)
+        packed, spec, streams = self.stack_captures(count, pad_to)
+        self._carry, frames_u8 = self._jitted(
+            self._carry, packed, streams, self._static_tex, spec)
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
 
     # ------------------------------------------------------------------ #

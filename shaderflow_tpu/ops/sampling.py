@@ -102,38 +102,51 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     return top + (bottom - top) * fy
 
 
+def _interp_matrix(positions: Array, n: int, repeat: bool) -> Array:
+    """(M, n) linear-interpolation weight matrix: row m holds the bilinear
+    hat weights of continuous texel position positions[m] over the n texels
+    (2 nonzeros per row; REPEAT folds weights across the wrap seam). A dense
+    matmul with this matrix IS 1D linear texture filtering — and it runs on
+    the MXU, where TPU gathers would serialize."""
+    texels = jnp.arange(n, dtype=jnp.float32)
+    if repeat:
+        delta = positions[:, None] - texels[None, :]
+        # Wrap distance onto [-n/2, n/2): taps across the seam interpolate
+        delta = jnp.mod(delta + n / 2.0, float(n)) - n / 2.0
+        return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
+    # CLAMP_TO_EDGE: clamping the continuous position to [0, n-1] puts full
+    # weight on the edge texel outside the range — identical to clamping the
+    # two tap indices
+    positions = jnp.clip(positions, 0.0, float(n - 1))
+    delta = positions[:, None] - texels[None, :]
+    return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
+
+
 def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array) -> Array:
     """Axis-aligned grid sampling: u varies only along columns, v only along
-    rows -> two 1D interpolations (row gathers) instead of H*W*4 pointwise
-    gathers. Bit-identical to sample() on the meshgrid of (u_line, v_line).
+    rows -> two 1D interpolations instead of H*W*4 pointwise gathers.
+    Bit-identical (within matmul rounding) to sample() on the meshgrid of
+    (u_line, v_line).
 
-    This is the TPU fast path for affine scale+translate texture maps — the
-    common case for background images, zooms and SSAA-style resamples —
-    where 2D gathers would bottleneck the VPU.
+    Linear filtering is expressed as two dense interpolation-matrix matmuls
+    (MXU-native — the GEMM-first recipe for resampling on systolic arrays);
+    nearest filtering keeps row gathers (exactness over speed).
     """
     h, w = tex.height, tex.width
     u = u_line * w - 0.5
     v = (1.0 - v_line) * h - 0.5
-
-    def axis_indices(x, n, repeat):
-        x0 = jnp.floor(x)
-        frac = (x - x0).astype(jnp.float32)
-        i0 = _wrap(x0.astype(jnp.int32), n, repeat)
-        i1 = _wrap(x0.astype(jnp.int32) + 1, n, repeat)
-        return i0, i1, frac
 
     if not tex.linear:
         iy = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, tex.repeat_y)
         ix = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, tex.repeat_x)
         return tex.data[iy][:, ix]
 
-    y0, y1, fy = axis_indices(v, h, tex.repeat_y)
-    x0, x1, fx = axis_indices(u, w, tex.repeat_x)
-
-    rows = tex.data[y0] + (tex.data[y1] - tex.data[y0]) * fy[:, None, None]  # (H', W, C)
-    left = rows[:, x0]
-    right = rows[:, x1]
-    return left + (right - left) * fx[None, :, None]                          # (H', W', C)
+    w_rows = _interp_matrix(v, h, tex.repeat_y)               # (H', H)
+    w_cols = _interp_matrix(u, w, tex.repeat_x)               # (W', W)
+    rows = jnp.einsum("oh,hwc->owc", w_rows, tex.data,
+                      preferred_element_type=jnp.float32)     # (H', W, C)
+    return jnp.einsum("pw,owc->opc", w_cols, rows,
+                      preferred_element_type=jnp.float32)     # (H', W', C)
 
 
 def splat_kernel(offsets: Array, size: int) -> Array:

@@ -399,10 +399,12 @@ class ShaderScene(ShaderModule):
     # -- export (freewheel) hot loop ----------------------------------------
 
     def default_batch_size(self) -> int:
-        """Frames per device launch: bounded by output size so streamed
-        texture stacks stay modest; small scenes batch more."""
+        """Frames per device launch: larger batches amortize per-launch
+        dispatch/transfer latency (significant on remote-attached devices);
+        bounded by output size so frame buffers + streamed texture stacks
+        stay modest. 32 frames at 1080p, 8 at 4K, 64 for small scenes."""
         pixels = self._width * self._height
-        return int(np.clip(2 ** 24 // max(1, pixels), 1, 64))
+        return int(np.clip(2 ** 26 // max(1, pixels), 4, 64))
 
     def _export_loop(self, export: ExportingHelper, batch: Optional[int],
                      start_frame: int = 0):

@@ -24,8 +24,10 @@ def _capture(scene, frames):
     engine.begin_batch()
     for _ in range(frames):
         scene.next(dt=scene.frametime)
-    uniforms, streams = engine.stack_captures(frames)
-    return engine, uniforms, streams
+    packed, spec, streams = engine.stack_captures(frames)
+    render = engine._render_fn
+    step = lambda carry, packed, streams, statics: render(carry, packed, streams, statics, spec)
+    return engine, step, (engine._carry, packed, streams, engine._static_tex)
 
 
 def test_eight_device_mesh_available():
@@ -35,16 +37,15 @@ def test_eight_device_mesh_available():
 def test_frame_sharded_render_matches_single_device():
     frames = 16
     scene = Ramp()
-    engine, uniforms, streams = _capture(scene, frames)
+    engine, step, args = _capture(scene, frames)
 
     # Single-device reference
-    _, expected = jax.jit(engine._render_fn)(
-        engine._carry, uniforms, streams, engine._static_tex)
+    _, expected = jax.jit(step)(*args)
     expected = np.asarray(expected)
 
     mesh = frame_mesh(8)
-    renderer = shard_frame_renderer(engine._render_fn, mesh)
-    got = np.asarray(renderer(engine._carry, uniforms, streams, engine._static_tex))
+    renderer = shard_frame_renderer(step, mesh)
+    got = np.asarray(renderer(*args))
 
     assert got.shape == (frames, 32, 64, 3)
     np.testing.assert_array_equal(got, expected)
@@ -62,8 +63,8 @@ def test_output_is_frame_sharded():
     """The sharded output's leading axis layout spans the mesh."""
     frames = 8
     scene = Ramp()
-    engine, uniforms, streams = _capture(scene, frames)
+    engine, step, args = _capture(scene, frames)
     mesh = frame_mesh(8)
-    renderer = shard_frame_renderer(engine._render_fn, mesh)
-    out = renderer(engine._carry, uniforms, streams, engine._static_tex)
+    renderer = shard_frame_renderer(step, mesh)
+    out = renderer(*args)
     assert len(out.sharding.device_set) == 8
