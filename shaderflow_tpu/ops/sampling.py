@@ -171,18 +171,22 @@ def splat_kernel(offsets: Array, size: int) -> Array:
 def convolve2d(image: Array, kernel: Array) -> Array:
     """Depthwise tap application: out[y, x] = sum_{dy,dx}
     kernel[h2+dy, w2+dx] * image[y+dy, x+dx] (zero padding at edges).
-    This is cross-correlation — exactly the splat_kernel orientation."""
+    This is cross-correlation — exactly the splat_kernel orientation.
+
+    Implemented as static shift-and-add over the padded image: XLA fuses the
+    taps into one elementwise loop. (lax.conv with a single feature channel
+    pads the feature dim to the full register lane width on TPU — a huge
+    memory blowup — so it is exactly the wrong tool for image-space taps.)
+    """
     h, w, c = image.shape
     kh, kw = kernel.shape
-    lhs = jnp.transpose(image, (2, 0, 1))[:, None]    # channels as batch: (C, 1, H, W)
-    rhs = kernel[None, None]                          # (O=1, I=1, kh, kw)
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(1, 1),
-        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return jnp.transpose(out[:, 0], (1, 2, 0))
+    h2, w2 = kh // 2, kw // 2
+    padded = jnp.pad(image, ((h2, h2), (w2, w2), (0, 0)))
+    out = jnp.zeros_like(image)
+    for dy in range(kh):
+        for dx in range(kw):
+            out = out + padded[dy:dy + h, dx:dx + w] * kernel[dy, dx]
+    return out
 
 
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
