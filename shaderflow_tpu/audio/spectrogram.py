@@ -175,13 +175,15 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         self.offset = 0
         self._frame_index = 0
         self._precomputed = None
+        self.texture.set_sequence(None)
         self.dynamics.set(np.zeros((self.audio.channels, self.spectrogram_bins), np.float32))
 
     # -- offline batched precompute -------------------------------------------
 
-    def _precompute(self) -> Optional[np.ndarray]:
+    def _precompute(self):
         """Whole-export spectrogram in one device program: batched STFT +
-        MXU band matmul + lax.scan smoothing. Returns (F, bins, C)."""
+        MXU band matmul + lax.scan smoothing. Returns a DEVICE (F, bins, C)
+        array — it never leaves HBM; the render scan indexes it per frame."""
         full = getattr(self.audio, "full_data", None)
         if full is None and hasattr(self.audio, "load_full_file"):
             full = self.audio.load_full_file()
@@ -204,12 +206,12 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
             flat = banded.reshape(total, -1)
             smoothed = dyn.scan(flat, jnp.zeros(flat.shape[1]), 1.0 / fps,
                                 frequency=4.0, zeta=1.0, response=0.0)
-            return smoothed.reshape(banded.shape)
+            return jnp.transpose(smoothed.reshape(banded.shape), (0, 2, 1))
 
-        result = np.asarray(compute(jnp.asarray(full), jnp.asarray(offsets)))
+        result = compute(jnp.asarray(full), jnp.asarray(offsets))  # (F, bins, C)
         logger.info(f"Precomputed {total} spectrogram frames on device "
-                    f"({self.spectrogram_bins} bins x {result.shape[1]} channels)")
-        return np.transpose(result, (0, 2, 1))  # (F, bins, C)
+                    f"({self.spectrogram_bins} bins x {result.shape[2]} channels)")
+        return result
 
     # -- per-frame update ------------------------------------------------------
 
@@ -218,22 +220,25 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         self.texture.filter = "linear" if self.smooth else "nearest"
         self.texture.resolution = (self.length_samples, self.spectrogram_bins)
 
-        if self.scene.freewheel and self._precomputed is None:
-            self._precomputed = self._precompute()
+        if self.scene.freewheel and self._precomputed is None and self.length_samples == 1:
+            columns = self._precompute()                    # device (F, bins, C)
+            if columns is not None:
+                # Device-resident; storage row 0 = top = highest bin (the
+                # host write path stores bin 0 at the bottom, GL order)
+                self.texture.set_sequence(columns[:, ::-1][:, :, None, :])
+                self._precomputed = columns
 
         self.offset = (self.offset + 1) % self.length_samples
-
-        if self._precomputed is not None:
-            index = min(self._frame_index, len(self._precomputed) - 1)
-            column = self._precomputed[index]               # (bins, C)
-        else:
-            row_shape = (self.audio.channels, self.spectrogram_bins)
-            if self.dynamics.value.shape != row_shape:
-                self.dynamics.set(np.zeros(row_shape, np.float32))
-            self.dynamics.next(target=self.next_columns(), dt=abs(self.scene.dt))
-            column = np.asarray(self.dynamics.value).T      # (bins, C)
-
         self._frame_index += 1
+        if self.texture.sequence is not None:
+            return  # content comes from the device sequence
+
+        # Realtime / scrolling path: per-frame CPU column + host texture write
+        row_shape = (self.audio.channels, self.spectrogram_bins)
+        if self.dynamics.value.shape != row_shape:
+            self.dynamics.set(np.zeros(row_shape, np.float32))
+        self.dynamics.next(target=self.next_columns(), dt=abs(self.scene.dt))
+        column = np.asarray(self.dynamics.value).T          # (bins, C)
         self.texture.write(
             data=column.reshape(self.spectrogram_bins, 1, self.audio.channels),
             viewport=(self.offset, 0, 1, self.spectrogram_bins),

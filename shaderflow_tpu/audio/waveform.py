@@ -89,8 +89,10 @@ class ShaderWaveform(ShaderModule):
     def setup(self) -> None:
         self._precomputed = None
         self._frame_index = 0
+        self.texture.set_sequence(None)
 
-    def _precompute(self) -> Optional[np.ndarray]:
+    def _precompute(self):
+        """Whole-export bars on device: (F, points, C), stays in HBM."""
         full = getattr(self.audio, "full_data", None)
         if full is None and hasattr(self.audio, "load_full_file"):
             full = self.audio.load_full_file()
@@ -107,25 +109,28 @@ class ShaderWaveform(ShaderModule):
         def compute(audio, ends):
             return spectral.waveform_batch(audio, ends, self._points, chunk, self.reducer.fn)
 
-        return np.asarray(compute(jnp.asarray(full), jnp.asarray(ends.astype(np.int32))))
+        return compute(jnp.asarray(full), jnp.asarray(ends.astype(np.int32)))
 
     def update(self) -> None:
         self.texture.components = self.audio.channels
 
         if self.scene.freewheel and self._precomputed is None:
-            self._precomputed = self._precompute()
-
-        if self._precomputed is not None:
-            index = min(self._frame_index, len(self._precomputed) - 1)
-            bars = self._precomputed[index]                   # (points, C)
-        else:
-            start = -int(self.chunk_size * self._points + self._offset + 1)
-            end = -int(self._offset + 1)
-            chunks = self.audio.data[:, start:end]
-            chunks = chunks.reshape(self.audio.channels, -1, self.chunk_size)
-            bars = np.ascontiguousarray(np.asarray(self.reducer.fn(chunks)).T)
+            bars = self._precompute()
+            if bars is not None:
+                # (F, points, C) -> (F, H=1, W=points, C), device-resident
+                self.texture.set_sequence(bars[:, None, :, :])
+                self._precomputed = bars
 
         self._frame_index += 1
+        if self.texture.sequence is not None:
+            return
+
+        # Realtime path: reduce the rolling buffer on the host
+        start = -int(self.chunk_size * self._points + self._offset + 1)
+        end = -int(self._offset + 1)
+        chunks = self.audio.data[:, start:end]
+        chunks = chunks.reshape(self.audio.channels, -1, self.chunk_size)
+        bars = np.ascontiguousarray(np.asarray(self.reducer.fn(chunks)).T)
         self.texture.write(bars.reshape(1, self._points, self.audio.channels))
 
     def pipeline(self):

@@ -67,6 +67,7 @@ class RenderEngine:
         self._carry: dict[str, jax.Array] = {}
         self._static_tex: dict[str, jax.Array] = {}
         self._static_versions: dict[str, int] = {}
+        self._sequences: dict[str, jax.Array] = {}
         self._statics: dict[str, Any] = {}
         self._streamed_names: set[str] = set()
         self._uniform_kinds: dict[str, str] = {}
@@ -119,9 +120,12 @@ class RenderEngine:
              p.texture.layers, p.texture.components, p.texture.filter,
              p.texture.repeat_x, p.texture.repeat_y)
             for p in programs)
+        sequences = tuple(sorted(
+            (m.name, tuple(int(x) for x in m.sequence.shape))
+            for m in self._external_textures().values() if m.sequence is not None))
         return (textures, statics, scene._final.texture.resolution,
                 int(scene.subsample), scene.aspect_ratio,
-                tuple(sorted(self._streamed_names)))
+                tuple(sorted(self._streamed_names)), sequences)
 
     def build(self) -> None:
         key = self._compute_build_key()
@@ -154,11 +158,19 @@ class RenderEngine:
             prog.texture.make() if prog.texture.matrix is None else None
             self._carry[prog.name] = jnp.asarray(prog.texture.matrix)
 
-        # Device copies of external textures (streamed ones excluded; they
-        # ride the per-frame batch instead)
+        # Device copies of external textures. Three classes:
+        #   sequence — device-resident (F_total, H, W, C), indexed by iFrame
+        #   streamed — host-written per frame, snapshotted into the batch
+        #   static   — uploaded once, re-uploaded on version change
         self._static_tex = {}
         self._static_versions = {}
+        self._sequences = {}
         for name, tex in externals.items():
+            if tex.sequence is not None:
+                self._sequences[name] = jnp.asarray(tex.sequence)
+                self._streamed_names.discard(name)
+                tex.dirty = False
+                continue
             if name in self._streamed_names:
                 continue
             if tex.matrix is None:
@@ -200,11 +212,16 @@ class RenderEngine:
                 out[name] = value
             return out
 
-        def render_batch(carry, packed, streams, static_tex, spec):
+        def render_batch(carry, packed, streams, static_tex, sequences, spec):
             def body(carry, per_frame):
                 packed_row, frame_streams = per_frame
                 frame_uniforms = unpack_uniforms(packed_row, spec)
                 textures = dict(static_tex)
+                # Device-resident per-frame sequences: index by frame number
+                for name, sequence in sequences.items():
+                    index = jnp.clip(frame_uniforms["iFrame"], 0, sequence.shape[0] - 1)
+                    box = jax.lax.dynamic_index_in_dim(sequence, index, 0, keepdims=False)
+                    textures[name] = box[None, None]  # (1, 1, H, W, C)
                 textures.update(frame_streams)
                 textures.update(carry)
 
@@ -236,7 +253,7 @@ class RenderEngine:
             return jax.lax.scan(body, carry, (packed, streams))
 
         self._render_fn = render_batch
-        self._jitted = jax.jit(render_batch, donate_argnums=(0,), static_argnums=(4,))
+        self._jitted = jax.jit(render_batch, donate_argnums=(0,), static_argnums=(5,))
         self.stale = False
         logger.debug(f"Engine built: {len(program_list)} programs, "
                      f"{len(self._static_tex)} static + {len(self._streamed_names)} streamed textures, "
@@ -255,8 +272,14 @@ class RenderEngine:
 
     def _refresh_static_textures(self) -> None:
         """Re-upload any texture whose host copy changed between batches
-        (e.g. a file-drop background swap)."""
+        (e.g. a file-drop background swap); rebind device sequences."""
         for name, tex in self._external_textures().items():
+            if tex.sequence is not None:
+                self._sequences[name] = jnp.asarray(tex.sequence)
+                self._static_tex.pop(name, None)
+                tex.dirty = False
+                continue
+            self._sequences.pop(name, None)
             if name in self._streamed_names:
                 continue
             if name not in self._static_tex or tex.version != self._static_versions.get(name):
@@ -292,6 +315,11 @@ class RenderEngine:
 
         frame_index = len(self._frame_uniforms) - 1
         for name, tex in self._external_textures().items():
+            if tex.sequence is not None:
+                tex.dirty = False
+                if name not in self._sequences:
+                    self.invalidate()  # sequence appeared mid-run: rebuild
+                continue
             streamed = name in self._streamed_names
             if tex.dirty and not streamed:
                 # Texture became per-frame dynamic: promote to streamed. The
@@ -362,9 +390,14 @@ class RenderEngine:
         if SKIP_TPU:
             width, height = self.scene._final.texture.resolution
             return np.zeros((count, height, width, 3), np.uint8)
+        if self.stale:
+            # Something re-specialized during capture (e.g. a module bound a
+            # device sequence on its first update): rebuild before running —
+            # captured uniforms/streams remain valid
+            self.build()
         packed, spec, streams = self.stack_captures(count, pad_to)
         self._carry, frames_u8 = self._jitted(
-            self._carry, packed, streams, self._static_tex, spec)
+            self._carry, packed, streams, self._static_tex, self._sequences, spec)
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
 
     # ------------------------------------------------------------------ #

@@ -73,6 +73,11 @@ class ShaderTexture(ShaderModule):
         self.version: int = 0     # bumped on every host write (device cache key)
         self.dirty: bool = False  # set by write(); engine clears after snapshot
         self.empty: bool = True
+        self.sequence = None      # optional DEVICE (F_total, H, W, C) per-frame content
+        """Device-resident per-frame texture sequence: when set (offline
+        audio paths), the render scan indexes it by the absolute frame
+        number instead of streaming host snapshots — zero per-batch
+        host->device traffic for per-frame textures (set_sequence())."""
 
         super().__init__(scene=scene, name=name, **kwargs)
 
@@ -303,6 +308,19 @@ class ShaderTexture(ShaderModule):
 
     def is_empty(self) -> bool:
         return self.empty
+
+    def set_sequence(self, array) -> "ShaderTexture":
+        """Bind a device-resident (F_total, H, W, C) per-frame content
+        sequence (row 0 = top, same storage convention as the matrix).
+        Pass None to return to host-written content."""
+        self.sequence = array
+        if array is not None:
+            height, width = int(array.shape[1]), int(array.shape[2])
+            self._components = int(array.shape[3])
+            if not self._track:
+                self._width, self._height = width, height
+        self.version += 1
+        return self
 
     def roll(self, n: int = 1) -> "ShaderTexture":
         """Rotate the temporal ring (host copy). Program textures roll on
