@@ -51,14 +51,14 @@ def shard_frame_renderer(render_fn, mesh: Mesh, axis: str = "frames"):
     feedback-free scenes), so the wrapper returns frames only.
     """
 
-    def local(carry, uniforms, streams, statics):
-        _, frames = render_fn(carry, uniforms, streams, statics)
+    def local(carry, packed, streams, statics, sequences):
+        _, frames = render_fn(carry, packed, streams, statics, sequences)
         return frames
 
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P()),
+        in_specs=(P(), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
         check_rep=False,
     )

@@ -26,8 +26,10 @@ def _capture(scene, frames):
         scene.next(dt=scene.frametime)
     packed, spec, streams = engine.stack_captures(frames)
     render = engine._render_fn
-    step = lambda carry, packed, streams, statics: render(carry, packed, streams, statics, spec)
-    return engine, step, (engine._carry, packed, streams, engine._static_tex)
+    step = (lambda carry, packed, streams, statics, sequences:
+            render(carry, packed, streams, statics, sequences, spec))
+    return engine, step, (engine._carry, packed, streams, engine._static_tex,
+                          engine._sequences)
 
 
 def test_eight_device_mesh_available():
