@@ -277,7 +277,10 @@ def visualizer_frag(sf):
     v_line = qy
     color = sample_separable(tex, u_line, v_line)
 
-    # Radial blur (8 directions x 10 walks) as one texture-space kernel
+    # Radial blur (8 directions x 10 walks) as one texture-space kernel,
+    # computed on a half-resolution pyramid level (the taps feed a blur —
+    # the 2x level halves the kernel and quarters the traffic for an error
+    # far below the blur's own radius)
     intensity = 0.01 * clamp(jnp.power(jnp.maximum(sf.iAudioVolume, 0.0), 2.5), 0.0, 0.3)
     quality, directions = 10, 8
     taps = []
@@ -287,11 +290,13 @@ def visualizer_frag(sf):
             walk = s / quality
             taps.append((math.cos(angle) * walk, math.sin(angle) * walk))
     taps = jnp.asarray(taps, jnp.float32) * intensity          # (80, 2) in stuv units
-    # stuv offsets -> array texel units: both axes scale by tex height
-    # (gtexture aspect correction), v-up flips to row-down
-    offsets = taps * jnp.asarray([tex.height, -tex.height], jnp.float32)
-    kernel = splat_kernel(offsets, size=11)
-    blurred = convolve2d(tex.data, kernel)
+    half_h, half_w = tex.height // 2, tex.width // 2
+    half = tex.data[:half_h * 2, :half_w * 2].reshape(half_h, 2, half_w, 2, -1).mean((1, 3))
+    # stuv offsets -> half-res texel units: both axes scale by the half
+    # height (gtexture aspect correction), v-up flips to row-down
+    offsets = taps * jnp.asarray([half_h, -half_h], jnp.float32)
+    kernel = splat_kernel(offsets, size=7)
+    blurred = convolve2d(half, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
     color = (color + sample_separable(blur_tex, u_line, v_line)) / (quality * directions)
 
