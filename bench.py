@@ -49,8 +49,12 @@ def main() -> None:
                   batch=batch, output="null")
 
     scene = scene_class()
-    # Warmup run: trace + compile + device warm caches
-    scene.main(time=max(2.0 / fps, 0.2), **common)
+    # Warmup run: trace + compile + device warm caches. Resuming near the
+    # end renders only ~2 batches while keeping every array shape identical
+    # to the timed run (content duration included), so the timed run is a
+    # pure cache hit.
+    batch_frames = (batch or 32) * 2
+    scene.main(time=seconds, start=max(0.0, seconds - batch_frames / fps), **common)
 
     start = time.monotonic()
     scene.main(time=seconds, **common)

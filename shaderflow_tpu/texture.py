@@ -309,10 +309,21 @@ class ShaderTexture(ShaderModule):
     def is_empty(self) -> bool:
         return self.empty
 
-    def set_sequence(self, array) -> "ShaderTexture":
+    def set_sequence(self, array, quantize: int = 256) -> "ShaderTexture":
         """Bind a device-resident (F_total, H, W, C) per-frame content
         sequence (row 0 = top, same storage convention as the matrix).
-        Pass None to return to host-written content."""
+        Pass None to return to host-written content.
+
+        The frame axis is edge-padded up to a multiple of `quantize` so
+        exports of different durations share compiled programs (the engine
+        clips its index to the last real frame either way)."""
+        if array is not None and quantize:
+            import jax.numpy as jnp
+            frames = int(array.shape[0])
+            target = -(-frames // quantize) * quantize
+            if target != frames:
+                pad = jnp.broadcast_to(array[-1:], (target - frames,) + array.shape[1:])
+                array = jnp.concatenate([array, pad], axis=0)
         self.sequence = array
         if array is not None:
             height, width = int(array.shape[1]), int(array.shape[2])
