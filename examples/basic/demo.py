@@ -275,7 +275,7 @@ def visualizer_frag(sf):
     aspect_scale = tex.height / tex.width
     u_line = ((2.0 * qx - 1.0) * aspect_scale + 1.0) / 2.0
     v_line = qy
-    color = sample_separable(tex, u_line, v_line)
+    color = sample_separable(tex, u_line, v_line, precision="bfloat16")
 
     # Radial blur (8 directions x 10 walks) as one texture-space kernel,
     # computed on a half-resolution pyramid level (the taps feed a blur —
@@ -298,7 +298,8 @@ def visualizer_frag(sf):
     kernel = splat_kernel(offsets, size=7)
     blurred = convolve2d(half, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
-    color = (color + sample_separable(blur_tex, u_line, v_line)) / (quality * directions)
+    color = (color + sample_separable(blur_tex, u_line, v_line, precision="bfloat16")) \
+        / (quality * directions)
 
     # Blink on snare/kick
     color = color * (1 + 5 * sf.iAudioSTD

@@ -122,7 +122,8 @@ def _interp_matrix(positions: Array, n: int, repeat: bool) -> Array:
     return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
 
 
-def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array) -> Array:
+def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array,
+                     precision: str = "float32") -> Array:
     """Axis-aligned grid sampling: u varies only along columns, v only along
     rows -> two 1D interpolations instead of H*W*4 pointwise gathers.
     Bit-identical (within matmul rounding) to sample() on the meshgrid of
@@ -131,6 +132,10 @@ def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array) -> Array:
     Linear filtering is expressed as two dense interpolation-matrix matmuls
     (MXU-native — the GEMM-first recipe for resampling on systolic arrays);
     nearest filtering keeps row gathers (exactness over speed).
+
+    precision="bfloat16" runs the matmuls at the MXU's native width (~4x
+    faster): the interpolation error stays under ~2^-9 relative — below half
+    a uint8 quantization step — which 8-bit video output cannot see.
     """
     h, w = tex.height, tex.width
     u = u_line * w - 0.5
@@ -143,8 +148,15 @@ def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array) -> Array:
 
     w_rows = _interp_matrix(v, h, tex.repeat_y)               # (H', H)
     w_cols = _interp_matrix(u, w, tex.repeat_x)               # (W', W)
-    rows = jnp.einsum("oh,hwc->owc", w_rows, tex.data,
+    data = tex.data
+    if precision == "bfloat16":
+        w_rows = w_rows.astype(jnp.bfloat16)
+        w_cols = w_cols.astype(jnp.bfloat16)
+        data = data.astype(jnp.bfloat16)
+    rows = jnp.einsum("oh,hwc->owc", w_rows, data,
                       preferred_element_type=jnp.float32)     # (H', W, C)
+    if precision == "bfloat16":
+        rows = rows.astype(jnp.bfloat16)
     return jnp.einsum("pw,owc->opc", w_cols, rows,
                       preferred_element_type=jnp.float32)     # (H', W', C)
 
