@@ -396,8 +396,14 @@ class RenderEngine:
             # captured uniforms/streams remain valid
             self.build()
         packed, spec, streams = self.stack_captures(count, pad_to)
+        before = self._jitted._cache_size()
         self._carry, frames_u8 = self._jitted(
             self._carry, packed, streams, self._static_tex, self._sequences, spec)
+        if self._jitted._cache_size() != before:
+            logger.info(f"Engine (re)traced: batch={packed.shape[0]} "
+                        f"uniforms={packed.shape[1]} streams={sorted(streams)} "
+                        f"sequences={sorted(self._sequences)} "
+                        f"(cache {before}->{self._jitted._cache_size()})")
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
 
     # ------------------------------------------------------------------ #

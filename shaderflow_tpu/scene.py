@@ -495,6 +495,8 @@ class ShaderScene(ShaderModule):
         if getattr(self, "_preview", None) is not None:
             cv2 = self._preview
             frame = np.asarray(frames[0])
+            if self.render_ui:
+                frame = self._draw_hud(frame.copy())
             cv2.imshow(self.title, frame[..., ::-1])
             key = cv2.waitKey(1) & 0xFF
             if key == 27:  # ESC
@@ -503,6 +505,29 @@ class ShaderScene(ShaderModule):
                 self.relay(ShaderMessage.Keyboard.KeyDown(key=key))
         else:
             np.asarray(frames)  # realize the computation for honest pacing
+
+    def _draw_hud(self, frame: np.ndarray) -> np.ndarray:
+        """Minimal stats overlay for the realtime preview (TAB toggles) —
+        the headless-friendly stand-in for the reference's imgui panels
+        (scene.py:856-932): per-module lines + frametimer stats."""
+        cv2 = self._preview
+        lines = [
+            f"{self.name}  {self.render_resolution} -> {self.resolution} "
+            f"@ {self.ssaa:.2f}x SSAA",
+            f"t={self.time:6.2f}s  frame={self.frame}  speed={self.speed:.2f}",
+            f"fps avg {self.frametimer.framerate_average():6.1f}  "
+            f"min {self.frametimer.framerate_minimum:6.1f}  target {self.fps:.0f}",
+        ]
+        for module in self.modules:
+            if module is self:
+                continue
+            lines.append(f"  {module.uuid:>2} {type(module).__name__}")
+        for index, text in enumerate(lines[:18]):
+            cv2.putText(frame, text, (8, 18 + 16 * index),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.42, (0, 0, 0), 2, cv2.LINE_AA)
+            cv2.putText(frame, text, (8, 18 + 16 * index),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.42, (255, 255, 255), 1, cv2.LINE_AA)
+        return frame
 
     # ------------------------------------------------------------------ #
     # Module protocol
