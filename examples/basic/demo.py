@@ -187,7 +187,9 @@ class Audio(ShaderScene):
 
 def waveform_frag(sf):
     """Oscilloscope bars (waveform.frag)."""
-    wave = sf.texture("iWaveform", vec2(sf.astuv[..., 0], 0.0))[..., 0:2]
+    from shaderflow_tpu.ops.sampling import sample_separable
+    row = sample_separable(sf.tex("iWaveform"), sf.astuv[0, :, 0], jnp.zeros(1))
+    wave = row[0][None, :, 0:2]  # broadcast the single sampled row
     ay = jnp.abs(sf.gluv[..., 1])
     r = jnp.where(ay < wave[..., 0], 1.0, 0.2)
     g = jnp.where(ay < wave[..., 1], 1.0, 0.2)
@@ -211,9 +213,13 @@ class Waveform(ShaderScene):
 # ---------------------------------------------------------------------------- #
 
 def bars_frag(sf):
-    """Two-channel frequency bars (bars.frag)."""
+    """Two-channel frequency bars (bars.frag). The swizzled sample at
+    astuv.yx is axis-aligned -> separable (transposed) sampling."""
+    from shaderflow_tpu.ops.sampling import sample_separable
     cam = sf.camera
-    intensity = jnp.sqrt(sf.texture("iSpectrogram", sf.astuv[..., ::-1])[..., 0:2]) / 120.0
+    swizzled = sample_separable(sf.tex("iSpectrogram"),
+                                sf.astuv[:, 0, 1], sf.astuv[0, :, 0])
+    intensity = jnp.sqrt(jnp.transpose(swizzled, (1, 0, 2))[..., 0:2]) / 120.0
     ax, ay = sf.astuv[..., 0], sf.astuv[..., 1]
     rgb = jnp.zeros(ax.shape + (3,), jnp.float32)
     rgb = rgb.at[..., 0].add(jnp.where(ay < intensity[..., 0], 1.0, 0.0))
@@ -311,8 +317,10 @@ def visualizer_frag(sf):
     radius = 0.17
 
     circle = jnp.abs(ops.atan1n(music_uv))
-    freq = jnp.sqrt(
-        sf.texture("iSpectrogram", vec2(jnp.zeros_like(circle), circle))[..., 0:2] / 1000.0)
+    # Nearest bin lookup indexed by the radial angle: one-hot MXU matmul
+    # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d)
+    from shaderflow_tpu.ops.sampling import lookup_nearest_1d
+    freq = jnp.sqrt(lookup_nearest_1d(sf.tex("iSpectrogram"), circle)[..., 0:2] / 1000.0)
     freq = freq * (0.05 + 3 * smoothstep(0.0, 2.0, circle))[..., None]
 
     r = length(music_uv)
@@ -339,8 +347,11 @@ def visualizer_frag(sf):
     rgb = jnp.where(cam.out_of_bounds[..., None], space, rgb)
     color = vec4(rgb, 1.0)
 
-    # Waveform on top and bottom
-    wave = 0.2 * sf.texture("iWaveform", vec2(sf.astuv[..., 0], 0.0))[..., 0:2]
+    # Waveform on top and bottom: sampled at v=0 along x only — one
+    # separable row instead of per-pixel gathers
+    wave_tex = sf.tex("iWaveform")
+    wave_row = sample_separable(wave_tex, sf.astuv[0, :, 0], jnp.zeros(1))  # (1, W', C)
+    wave = 0.2 * wave_row[0][None, :, 0:2]
     color = jnp.where((1 - sf.gluv[..., 1:2] < wave[..., 0:1]), color * 0.8, color)
     color = jnp.where((1 + sf.gluv[..., 1:2] < wave[..., 1:2]), color * 0.8, color)
     return ops.with_alpha(color, 1.0)

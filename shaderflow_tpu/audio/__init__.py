@@ -126,6 +126,16 @@ class BrokenAudio:
         return self.get_data_between_samples(start * self.samplerate, end * self.samplerate)
 
     def get_last_n_samples(self, n: int, *, offset: int = 0) -> np.ndarray:
+        if self.full_data is not None:
+            # Offline mode: window ends at the cursor (same trailing-sample
+            # convention as the rolling-buffer slice), zero-filled pre-start
+            end = int(self.tell - offset - 1)
+            start = end - int(n)
+            out = np.zeros((self.channels, int(n)), dtype=self.dtype)
+            lo, hi = max(0, start), max(0, min(end, self.full_data.shape[1]))
+            if hi > lo:
+                out[:, lo - start:hi - start] = self.full_data[:, lo:hi]
+            return out
         return self.data[:, -(int(n + offset) + 1):-(int(offset) + 1)]
 
     def get_last_n_seconds(self, n: float) -> np.ndarray:
@@ -300,19 +310,28 @@ class ShaderAudio(BrokenAudio, ShaderModule):
             ffmpeg.shortest = True
 
     def update(self) -> None:
-        # File mode: consume exactly rdt seconds (time-accurate reader)
-        if self._file_stream is not None:
-            try:
-                self._file_reader.chunk = self.scene.rdt
-                data = next(self._file_stream).T
-                self.add_data(data)
-                if self.scene.realtime:
-                    self.play(data)
-            except StopIteration:
-                self._file_stream = None
-        elif self.mode == AudioMode.Realtime and self.recorder is not None:
-            self.record()
+        # Offline fast path: the whole file is in memory — advance the
+        # cursor directly instead of shifting the 30 s rolling buffer
+        # (a ~10 MB memmove per frame on the host hot loop)
+        if self.full_data is not None and self.scene.freewheel:
+            self.tell = min(int(round(self.scene.time * self.samplerate)),
+                            self.full_data.shape[1])
+            start = max(0, self.tell - int(0.1 * self.samplerate))
+            window = self.full_data[:, start:self.tell]
+        else:
+            # File mode: consume exactly rdt seconds (time-accurate reader)
+            if self._file_stream is not None:
+                try:
+                    self._file_reader.chunk = self.scene.rdt
+                    data = next(self._file_stream).T
+                    self.add_data(data)
+                    if self.scene.realtime:
+                        self.play(data)
+                except StopIteration:
+                    self._file_stream = None
+            elif self.mode == AudioMode.Realtime and self.recorder is not None:
+                self.record()
+            window = self.get_last_n_seconds(0.1)
 
-        window = self.get_last_n_seconds(0.1)
         self.volume.target = 2 * root_mean_square(window) * (2 ** 0.5)
         self.std.target = float(np.std(window)) if np.size(window) else 0.0

@@ -89,3 +89,15 @@ def test_convolve2d_shift():
     kernel = jnp.zeros((3, 3)).at[1, 2].set(1.0)
     out = np.asarray(convolve2d(tex.data, kernel))
     np.testing.assert_allclose(out[:, :-1], np.asarray(tex.data)[:, 1:], atol=1e-6)
+
+
+def test_lookup_nearest_1d_matches_pointwise():
+    from shaderflow_tpu.ops.sampling import lookup_nearest_1d
+    rng = np.random.default_rng(5)
+    table = Sampler2D(jnp.asarray(rng.uniform(size=(7, 1, 2)).astype(np.float32)),
+                      linear=False, repeat_y=False)
+    v = jnp.asarray(rng.uniform(-0.1, 1.1, size=(9, 13)).astype(np.float32))
+    uv = jnp.stack([jnp.zeros_like(v), v], axis=-1)
+    expected = np.asarray(sample(table, uv))
+    got = np.asarray(lookup_nearest_1d(table, v))
+    np.testing.assert_allclose(got, expected, rtol=1 / 128)  # bf16 table rounding
