@@ -134,7 +134,7 @@ class RenderEngine:
             # refresh device state, keep the compiled executable
             self._refresh_static_textures()
             for prog in self._programs():
-                if prog.texture.matrix is not None:
+                if prog.texture.temporal > 1 and prog.texture.matrix is not None:
                     self._carry[prog.name] = jax.numpy.asarray(prog.texture.matrix)
             self.stale = False
             return
@@ -151,12 +151,17 @@ class RenderEngine:
             if variable.static and variable.value is not None:
                 self._statics[variable.name] = variable.value
 
-        # Program texture matrices -> scan carry (initialized from host
-        # writes, e.g. the Life seed at examples demo Life.setup)
+        # Program texture matrices -> scan carry. Only temporal>1 programs
+        # carry state between frames; temporal==1 programs are rebuilt from
+        # scratch each frame (no cross-frame reads are possible through a
+        # single-slot ring), which keeps their (H, W, C) buffers out of the
+        # scan carry entirely — a large per-frame HBM traffic saving.
         self._carry = {}
         for prog in programs:
-            prog.texture.make() if prog.texture.matrix is None else None
-            self._carry[prog.name] = jnp.asarray(prog.texture.matrix)
+            if prog.texture.matrix is None:
+                prog.texture.make()
+            if prog.texture.temporal > 1:
+                self._carry[prog.name] = jnp.asarray(prog.texture.matrix)
 
         # Device copies of external textures. Three classes:
         #   sequence — device-resident (F_total, H, W, C), indexed by iFrame
@@ -227,7 +232,15 @@ class RenderEngine:
 
                 new_carry = {}
                 for prog, base_coords in zip(program_list, coords):
-                    matrix = textures[prog.name]
+                    temporal = prog.texture.temporal
+                    if temporal > 1:
+                        matrix = textures[prog.name]
+                    else:
+                        width, height = prog.texture.resolution
+                        matrix = jnp.zeros(
+                            (1, prog.texture.layers, height, width,
+                             prog.texture.components), jnp.float32)
+                        textures[prog.name] = matrix
                     layers = matrix.shape[1]
                     frame_coords = finish_coords(base_coords, frame_uniforms["iResolution"])
                     for layer in range(layers):
@@ -242,9 +255,10 @@ class RenderEngine:
                         out = prog.render_layer(ctx)
                         matrix = matrix.at[0, layer].set(out)
                         textures[prog.name] = matrix
-                    matrix = jnp.roll(matrix, 1, axis=0)
-                    textures[prog.name] = matrix
-                    new_carry[prog.name] = matrix
+                    if temporal > 1:
+                        matrix = jnp.roll(matrix, 1, axis=0)
+                        textures[prog.name] = matrix
+                        new_carry[prog.name] = matrix
 
                 source = textures[main_name][main_slot, -1]
                 frame = final_pass(source, out_height, out_width, subsample)
@@ -411,5 +425,5 @@ class RenderEngine:
     def reset_carry(self) -> None:
         """Re-seed program textures from their host matrices (scene reset)."""
         for prog in self._programs():
-            if prog.texture.matrix is not None:
+            if prog.texture.temporal > 1 and prog.texture.matrix is not None:
                 self._carry[prog.name] = jnp.asarray(prog.texture.matrix)
