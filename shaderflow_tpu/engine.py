@@ -120,12 +120,12 @@ class RenderEngine:
              p.texture.layers, p.texture.components, p.texture.filter,
              p.texture.repeat_x, p.texture.repeat_y)
             for p in programs)
-        sequences = tuple(sorted(
-            (m.name, tuple(int(x) for x in m.sequence.shape))
-            for m in self._external_textures().values() if m.sequence is not None))
+        # Streamed/sequence membership and shapes are NOT in the key: they
+        # are jit arguments, so the closure is generic over them — changing
+        # them retraces through the jit cache without discarding previously
+        # compiled signatures (a rebuilt closure would recompile everything).
         return (textures, statics, scene._final.texture.resolution,
-                int(scene.subsample), scene.aspect_ratio,
-                tuple(sorted(self._streamed_names)), sequences)
+                int(scene.subsample), scene.aspect_ratio)
 
     def build(self) -> None:
         key = self._compute_build_key()
