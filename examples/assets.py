@@ -98,6 +98,27 @@ def music_wav(path: Path = ASSETS / "music.wav", seconds: float = 10.0,
     return path
 
 
+def video_file(path: Path = ASSETS / "clip.mp4", seconds: float = 2.0,
+               size=(320, 180), fps: float = 30.0) -> Path:
+    """A small synthetic clip (animated plasma) for the Video texture demo."""
+    if path.exists():
+        return path
+    path.parent.mkdir(parents=True, exist_ok=True)
+    import cv2
+    width, height = size
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    y, x = np.mgrid[0:height, 0:width].astype(np.float32)
+    for frame in range(int(seconds * fps)):
+        t = frame / fps
+        r = 0.5 + 0.5 * np.sin(x / 23 + 4 * t)
+        g = 0.5 + 0.5 * np.sin(y / 17 - 3 * t + 2)
+        b = 0.5 + 0.5 * np.sin((x + y) / 31 + t)
+        rgb = (np.stack([b, g, r], axis=-1) * 255).astype(np.uint8)  # BGR for cv2
+        writer.write(rgb)
+    writer.release()
+    return path
+
+
 def midi_file(path: Path = ASSETS / "arpeggio.mid", seconds: float = 10.0) -> Path:
     if path.exists():
         return path

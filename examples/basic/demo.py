@@ -162,7 +162,7 @@ class Video(ShaderScene):
 
     def build(self):
         from shaderflow_tpu.video import ShaderVideo
-        self.video = ShaderVideo(scene=self, path=self.path)
+        self.video = ShaderVideo(scene=self, path=self.path or assets.video_file())
 
         def frag(sf):
             cam = sf.camera

@@ -14,6 +14,7 @@ import pytest
 REPO = Path(__file__).parent.parent
 sys.path.insert(0, str(REPO / "examples" / "basic"))
 sys.path.insert(0, str(REPO / "examples" / "fractals"))
+sys.path.insert(0, str(REPO / "examples"))
 
 import demo
 import fractals
@@ -67,3 +68,17 @@ def test_cli_launch(tmp_path):
     assert Path(result).exists()
     data = np.fromfile(result, np.uint8)
     assert data.size == 2 * 64 * 32 * 3
+
+
+def test_video_scene_exports():
+    frames = export(demo.Video, frames=3)
+    assert frames.shape[0] == 3
+    # The plasma clip must actually appear (colorful, varying)
+    assert frames[-1].std() > 10
+
+
+def test_piano_roll_scene_exports():
+    import piano_roll
+    frames = export(piano_roll.PianoRoll, frames=3)
+    assert frames.shape[0] == 3
+    assert frames[-1].std() > 10
