@@ -204,20 +204,24 @@ def convolve2d(image: Array, kernel: Array) -> Array:
 def lookup_nearest_1d(tex: Sampler2D, v_field: Array) -> Array:
     """Per-pixel NEAREST lookup along a texture's v axis (u fixed at the
     first column) for a small table texture — the radial-spectrogram access
-    pattern. Computed as a one-hot bf16 matmul on the MXU: TPU pointwise
-    gathers serialize (~3M lookups/s), while the equivalent
-    (pixels x bins) @ (bins x C) contraction streams at matmul speed.
-    The one-hot weights are exact in bf16; table values round to bf16
-    (2^-8 relative) — far below visual/8-bit thresholds."""
+    pattern.
+
+    TPU pointwise gathers serialize (~3M lookups/s) and a one-hot matmul
+    materializes a (pixels x bins) operand in HBM; instead the table is
+    unrolled into one select-accumulate chain that XLA fuses into a single
+    pass over the index field: traffic = read index + write result,
+    compute = bins fused selects per pixel on the VPU. Exact."""
     h = tex.height
     # v up -> row index (same as sample() nearest path)
-    rows = jnp.floor((1.0 - v_field) * h + 0.0).astype(jnp.int32)
+    rows = jnp.floor((1.0 - v_field) * h).astype(jnp.int32)
     rows = jnp.clip(rows, 0, h - 1) if not tex.repeat_y else jnp.mod(rows, h)
     table = tex.data[:, 0, :]                           # (H, C)
-    bins = table.shape[0]
-    onehot = (rows[..., None] == jnp.arange(bins)).astype(jnp.bfloat16)
-    return jnp.einsum("...b,bc->...c", onehot, table.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+    bins, channels = table.shape
+    acc = jnp.zeros(v_field.shape + (channels,), jnp.float32)
+    for b in range(bins):
+        mask = (rows == b)[..., None]
+        acc = acc + jnp.where(mask, table[b], 0.0)
+    return acc
 
 
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
