@@ -296,13 +296,14 @@ def visualizer_frag(sf):
             walk = s / quality
             taps.append((math.cos(angle) * walk, math.sin(angle) * walk))
     taps = jnp.asarray(taps, jnp.float32) * intensity          # (80, 2) in stuv units
-    half_h, half_w = tex.height // 2, tex.width // 2
-    half = tex.data[:half_h * 2, :half_w * 2].reshape(half_h, 2, half_w, 2, -1).mean((1, 3))
-    # stuv offsets -> half-res texel units: both axes scale by the half
+    quarter_h, quarter_w = tex.height // 4, tex.width // 4
+    quarter = tex.data[:quarter_h * 4, :quarter_w * 4].reshape(
+        quarter_h, 4, quarter_w, 4, -1).mean((1, 3))
+    # stuv offsets -> quarter-res texel units: both axes scale by the level
     # height (gtexture aspect correction), v-up flips to row-down
-    offsets = taps * jnp.asarray([half_h, -half_h], jnp.float32)
-    kernel = splat_kernel(offsets, size=7)
-    blurred = convolve2d(half, kernel)
+    offsets = taps * jnp.asarray([quarter_h, -quarter_h], jnp.float32)
+    kernel = splat_kernel(offsets, size=5)
+    blurred = convolve2d(quarter, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
     color = (color + sample_separable(blur_tex, u_line, v_line, precision="bfloat16")) \
         / (quality * directions)

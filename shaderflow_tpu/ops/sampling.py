@@ -201,27 +201,32 @@ def convolve2d(image: Array, kernel: Array) -> Array:
     return out
 
 
-def lookup_nearest_1d(tex: Sampler2D, v_field: Array) -> Array:
+def lookup_nearest_1d(tex: Sampler2D, v_field: Array, mode: str = "onehot") -> Array:
     """Per-pixel NEAREST lookup along a texture's v axis (u fixed at the
     first column) for a small table texture — the radial-spectrogram access
     pattern.
 
-    TPU pointwise gathers serialize (~3M lookups/s) and a one-hot matmul
-    materializes a (pixels x bins) operand in HBM; instead the table is
-    unrolled into one select-accumulate chain that XLA fuses into a single
-    pass over the index field: traffic = read index + write result,
-    compute = bins fused selects per pixel on the VPU. Exact."""
+    TPU pointwise gathers serialize (~3M lookups/s); the default "onehot"
+    mode contracts a bf16 one-hot against the table on the MXU (table values
+    round to bf16, ~2^-8 relative — invisible at 8 bits); "select" unrolls
+    a select-accumulate chain (exact, but measured to fuse worse inside
+    large shader graphs — kept for small-graph uses)."""
     h = tex.height
     # v up -> row index (same as sample() nearest path)
     rows = jnp.floor((1.0 - v_field) * h).astype(jnp.int32)
     rows = jnp.clip(rows, 0, h - 1) if not tex.repeat_y else jnp.mod(rows, h)
     table = tex.data[:, 0, :]                           # (H, C)
     bins, channels = table.shape
-    acc = jnp.zeros(v_field.shape + (channels,), jnp.float32)
-    for b in range(bins):
-        mask = (rows == b)[..., None]
-        acc = acc + jnp.where(mask, table[b], 0.0)
-    return acc
+
+    if mode == "select":
+        acc = jnp.zeros(v_field.shape + (channels,), jnp.float32)
+        for b in range(bins):
+            acc = acc + jnp.where((rows == b)[..., None], table[b], 0.0)
+        return acc
+
+    onehot = (rows[..., None] == jnp.arange(bins)).astype(jnp.bfloat16)
+    return jnp.einsum("...b,bc->...c", onehot, table.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
 
 
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
