@@ -184,12 +184,15 @@ class RenderEngine:
             self._static_versions[name] = tex.version
             tex.dirty = False
 
-        # Per-program coordinate grids (at each program's own resolution)
+        # Per-program render sizes; the coordinate grids themselves are
+        # generated INSIDE the traced function (iota-based) — materializing
+        # them here would bake ~100s of MB of constant arrays into the HLO
+        # (minute-scale compiles, per-call constant rehydration)
         aspect = scene.aspect_ratio
-        coords = []
+        sizes = []
         for prog in programs:
             width, height = prog.texture.resolution
-            coords.append(make_coords(height, width, aspect))
+            sizes.append((height, width))
 
         out_width, out_height = scene._final.texture.resolution
         subsample = int(scene.subsample)
@@ -218,6 +221,9 @@ class RenderEngine:
             return out
 
         def render_batch(carry, packed, streams, static_tex, sequences, spec):
+            # Loop-invariant: XLA hoists these out of the scan
+            coords = [make_coords(h, w, aspect) for (h, w) in sizes]
+
             def body(carry, per_frame):
                 packed_row, frame_streams = per_frame
                 frame_uniforms = unpack_uniforms(packed_row, spec)
@@ -269,6 +275,7 @@ class RenderEngine:
         self._render_fn = render_batch
         self._jitted = jax.jit(render_batch, donate_argnums=(0,), static_argnums=(5,))
         self.stale = False
+        del meta  # exposed via meta_snapshot in the closure
         logger.debug(f"Engine built: {len(program_list)} programs, "
                      f"{len(self._static_tex)} static + {len(self._streamed_names)} streamed textures, "
                      f"output {out_width}x{out_height} subsample {subsample}")
