@@ -157,8 +157,11 @@ def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array,
                       preferred_element_type=jnp.float32)     # (H', W, C)
     if precision == "bfloat16":
         rows = rows.astype(jnp.bfloat16)
-    return jnp.einsum("pw,owc->opc", w_cols, rows,
-                      preferred_element_type=jnp.float32)     # (H', W', C)
+    out = jnp.einsum("pw,owc->opc", w_cols, rows,
+                     preferred_element_type=jnp.float32)      # (H', W', C)
+    # Keep downstream shader math out of the matmul's fusion (XLA otherwise
+    # folds whole shader tails into the dot epilogue and blows scoped VMEM)
+    return jax.lax.optimization_barrier(out)
 
 
 def splat_kernel(offsets: Array, size: int) -> Array:

@@ -16,6 +16,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent compile cache targets the TPU path; on CPU it only adds
+# cross-machine AOT feature-mismatch warnings to every test run
+os.environ.setdefault("SHADERFLOW_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 
