@@ -222,10 +222,14 @@ def lookup_nearest_1d(tex: Sampler2D, v_field: Array, mode: str = "onehot") -> A
     bins, channels = table.shape
 
     if mode == "select":
+        # Barrier sandwich: isolated, the select chain fuses into a single
+        # VPU pass; embedded in a large shader graph XLA splits it into
+        # dozens of full-field kernels
+        rows, table = jax.lax.optimization_barrier((rows, table))
         acc = jnp.zeros(v_field.shape + (channels,), jnp.float32)
         for b in range(bins):
             acc = acc + jnp.where((rows == b)[..., None], table[b], 0.0)
-        return acc
+        return jax.lax.optimization_barrier(acc)
 
     onehot = (rows[..., None] == jnp.arange(bins)).astype(jnp.bfloat16)
     return jnp.einsum("...b,bc->...c", onehot, table.astype(jnp.bfloat16),
