@@ -125,9 +125,19 @@ class ShaderCamera(ShaderModule):
 
     # -- uniforms ------------------------------------------------------------
 
+    @property
+    def trivial(self) -> bool:
+        """True while the camera orientation is the untouched global basis
+        and the projection is perspective: the device ray math then takes
+        the separable fast path (ops/cameralib.project_trivial). Exposed as
+        a static uniform — the engine re-specializes when it flips."""
+        return (self.projection == CameraProjection.Perspective
+                and bool(np.allclose(self.rotation.value, qt.IDENTITY, atol=1e-7)))
+
     def pipeline(self) -> Iterable[ShaderVariable]:
         yield StaticUniform("int", f"{self.name}Mode", self.mode.value)
         yield StaticUniform("int", f"{self.name}Projection", self.projection.value)
+        yield StaticUniform("bool", f"{self.name}Trivial", self.trivial)
         yield Uniform("vec3", f"{self.name}Right", self.right)
         yield Uniform("vec3", f"{self.name}Upward", self.up)
         yield Uniform("vec3", f"{self.name}Forward", self.forward)

@@ -54,6 +54,76 @@ class CameraRays(NamedTuple):
         return sl.normalize(self.target - self.origin)
 
 
+def project_trivial(
+    *,
+    gluv_x: Array,   # (W,) aspect-corrected x line
+    gluv_y: Array,   # (H,) y line
+    position: Array,
+    zoom,
+    isometric,
+    orbital,
+    dolly,
+    focal_length,
+    aspect,
+    want_aspect,
+    resolution,
+) -> CameraRays:
+    """Separable fast path for the identity-orientation perspective camera
+    (right=X, up=Y, forward=Z — the untouched default). All the ray/plane
+    math collapses to 1D lines + one broadcast per consumed field: the
+    generic per-pixel path materializes tens of full-resolution (H, W, 3)
+    intermediates, which dominates simple scenes' frame time.
+
+    Exactly the camera.glsl math specialized to the global basis:
+    t = (1 - origin_z) / (focal + dolly) is a scalar, so the plane hit is
+    an axis-aligned affine map of the screen.
+    """
+    height, width = gluv_y.shape[0], gluv_x.shape[0]
+    position = jnp.asarray(position, jnp.float32)
+
+    origin_z = position[2] - orbital - dolly
+    direction_z = focal_length + dolly
+    t = (1.0 - origin_z) / direction_z
+
+    iso_size = zoom * isometric
+    hit_x = position[0] + gluv_x * iso_size + t * (gluv_x * (zoom - iso_size))
+    hit_y = position[1] + gluv_y * iso_size + t * (gluv_y * (zoom - iso_size))
+
+    oob_x = (jnp.abs(gluv_x) > want_aspect) | (t < 0)
+
+    def grid(x_line, y_line):
+        return jnp.stack(jnp.broadcast_arrays(
+            x_line[None, :] * jnp.ones((height, 1), jnp.float32),
+            y_line[:, None] * jnp.ones((1, width), jnp.float32)), axis=-1)
+
+    cam_gluv = grid(hit_x, hit_y)
+    cam_agluv = grid(hit_x / aspect, hit_y)
+    cam_stuv = grid((hit_x + 1.0) / 2.0, (hit_y + 1.0) / 2.0)
+    cam_astuv = grid((hit_x / aspect + 1.0) / 2.0, (hit_y + 1.0) / 2.0)
+    resolution = jnp.asarray(resolution, jnp.float32)
+    cam_stxy = cam_astuv * resolution
+    cam_glxy = cam_stxy - resolution / 2.0
+    out_of_bounds = jnp.broadcast_to(oob_x[None, :], (height, width))
+
+    origin_xy_x = position[0] + gluv_x * iso_size
+    origin_xy_y = position[1] + gluv_y * iso_size
+    origin = jnp.concatenate([
+        grid(origin_xy_x, origin_xy_y),
+        jnp.broadcast_to(origin_z, (height, width))[..., None]], axis=-1)
+    target = jnp.concatenate([
+        grid(position[0] + gluv_x * zoom, position[1] + gluv_y * zoom),
+        jnp.broadcast_to(position[2] - orbital + focal_length,
+                         (height, width))[..., None]], axis=-1)
+
+    basis = jnp.eye(3, dtype=jnp.float32)
+    return CameraRays(
+        origin=origin, target=target,
+        gluv=cam_gluv, agluv=cam_agluv, stuv=cam_stuv, astuv=cam_astuv,
+        stxy=cam_stxy, glxy=cam_glxy, out_of_bounds=out_of_bounds,
+        position=position, forward=basis[2], up=basis[1], right=basis[0],
+    )
+
+
 def _rectangle(gluv: Array, right: Array, up: Array, size) -> Array:
     """Projection plane offsets (CameraRectangle, camera.glsl:55-57)."""
     return size * (gluv[..., 0:1] * right + gluv[..., 1:2] * up)

@@ -171,6 +171,25 @@ class Frag:
         if name in self._camera_cache:
             return self._camera_cache[name]
         u, s = self._uniforms, self._statics
+
+        if s.get(f"{name}Trivial") and "u_line" in self._coords:
+            aspect = self._coords["aspect"]
+            rays = cameralib.project_trivial(
+                gluv_x=(self._coords["u_line"] * 2.0 - 1.0) * aspect,
+                gluv_y=self._coords["v_line"] * 2.0 - 1.0,
+                position=u[f"{name}Position"],
+                zoom=u[f"{name}Zoom"],
+                isometric=u[f"{name}Isometric"],
+                orbital=u[f"{name}Orbital"],
+                dolly=u[f"{name}Dolly"],
+                focal_length=u[f"{name}FocalLength"],
+                aspect=self.aspect_ratio,
+                want_aspect=u["iWantAspect"],
+                resolution=u["iResolution"],
+            )
+            self._camera_cache[name] = rays
+            return rays
+
         rays = cameralib.project(
             gluv=self.gluv,
             agluv=self.agluv,
@@ -207,7 +226,9 @@ def make_coords(render_height: int, render_width: int, aspect: float) -> dict[st
     agluv = astuv * 2.0 - 1.0
     gluv = agluv * jnp.array([aspect, 1.0], jnp.float32)
     stuv = (gluv + 1.0) / 2.0
-    return dict(astuv=astuv, agluv=agluv, stuv=stuv, gluv=gluv)
+    # 1D axis lines (astuv space) power separable fast paths (camera, sampling)
+    return dict(astuv=astuv, agluv=agluv, stuv=stuv, gluv=gluv,
+                u_line=x, v_line=y, aspect=aspect)
 
 
 def finish_coords(coords: dict, resolution) -> dict:

@@ -95,3 +95,27 @@ def test_dolly_only_displaces_origin():
     np.testing.assert_allclose(np.asarray(dolly.origin[16, 32]), [0, 0, -1.0], atol=0.05)
     # Target unchanged by dolly
     np.testing.assert_allclose(np.asarray(dolly.target), np.asarray(plain.target), atol=1e-5)
+
+
+def test_trivial_path_matches_generic():
+    """The separable fast path must reproduce the generic per-pixel path for
+    the identity-orientation perspective camera."""
+    h, w, aspect = 24, 48, 2.0
+    coords = make_coords(h, w, aspect)
+    params = default_params(zoom=1.3, isometric=0.25, orbital=0.5, dolly=0.2,
+                            position=jnp.array([0.1, -0.2, 0.05]))
+    generic = cameralib.project(gluv=coords["gluv"], agluv=coords["agluv"], **params)
+    trivial = cameralib.project_trivial(
+        gluv_x=(coords["u_line"] * 2 - 1) * aspect,
+        gluv_y=coords["v_line"] * 2 - 1,
+        position=params["position"], zoom=params["zoom"],
+        isometric=params["isometric"], orbital=params["orbital"],
+        dolly=params["dolly"], focal_length=params["focal_length"],
+        aspect=aspect, want_aspect=params["want_aspect"],
+        resolution=params["resolution"])
+    for field in ("gluv", "agluv", "stuv", "astuv", "stxy", "glxy", "origin", "target"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(trivial, field)), np.asarray(getattr(generic, field)),
+            atol=2e-5, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(trivial.out_of_bounds),
+                                  np.asarray(generic.out_of_bounds))
