@@ -296,9 +296,9 @@ def visualizer_frag(sf):
             walk = s / quality
             taps.append((math.cos(angle) * walk, math.sin(angle) * walk))
     taps = jnp.asarray(taps, jnp.float32) * intensity          # (80, 2) in stuv units
+    from shaderflow_tpu.ops.downsample import box_downsample
     quarter_h, quarter_w = tex.height // 4, tex.width // 4
-    quarter = tex.data[:quarter_h * 4, :quarter_w * 4].reshape(
-        quarter_h, 4, quarter_w, 4, -1).mean((1, 3))
+    quarter = box_downsample(tex.data[:quarter_h * 4, :quarter_w * 4], 4)
     # stuv offsets -> quarter-res texel units: both axes scale by the level
     # height (gtexture aspect correction), v-up flips to row-down
     offsets = taps * jnp.asarray([quarter_h, -quarter_h], jnp.float32)

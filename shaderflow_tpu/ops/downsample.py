@@ -25,6 +25,17 @@ from shaderflow_tpu.ops.sampling import Sampler2D, sample
 Array = jax.Array
 
 
+def box_downsample(x: Array, factor: int) -> Array:
+    """Exact factor x factor average pooling of (H, W, C) via strided-slice
+    accumulation (TPU-layout friendly; reshape-based pooling re-tiles)."""
+    acc = None
+    for dy in range(factor):
+        for dx in range(factor):
+            part = x[dy::factor, dx::factor]
+            acc = part if acc is None else acc + part
+    return acc / float(factor * factor)
+
+
 def quantize_u8(x: Array) -> Array:
     """GL UNSIGNED_BYTE conversion: floor(clamp(c, 0, 1) * 255 + 0.5).
 
@@ -61,10 +72,11 @@ def ssaa_downsample(
         # linear texture averages back to (nearly) the texel. Use general path
         # for bit-accuracy instead.
 
-    # Exact average pooling when taps align with texel centers
+    # Exact average pooling when taps align with texel centers. Strided
+    # slices, NOT reshape(H/s, s, W/s, s)+mean: that reshape re-tiles the
+    # whole array on TPU (measured ~500x slower than slicing).
     if (rh == out_height * subsample) and (rw == out_width * subsample) and subsample > 1:
-        pooled = render.reshape(out_height, subsample, out_width, subsample, components)
-        return pooled.mean(axis=(1, 3))
+        return box_downsample(render, subsample)
 
     # General path: subsample^2 bilinear taps per output pixel (final.glsl:21-29)
     tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
