@@ -26,14 +26,16 @@ Array = jax.Array
 
 
 def box_downsample(x: Array, factor: int) -> Array:
-    """Exact factor x factor average pooling of (H, W, C) via strided-slice
-    accumulation (TPU-layout friendly; reshape-based pooling re-tiles)."""
-    acc = None
-    for dy in range(factor):
-        for dx in range(factor):
-            part = x[dy::factor, dx::factor]
-            acc = part if acc is None else acc + part
-    return acc / float(factor * factor)
+    """Exact factor x factor average pooling of (H, W, C) via
+    lax.reduce_window — the one pooling formulation that stays fast on TPU
+    (reshape(H/s, s, W/s, s)+mean re-tiles the array, ~500x slower; strided
+    slices get rewritten into serial gathers inside larger programs)."""
+    window = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(factor, factor, 1),
+        window_strides=(factor, factor, 1),
+        padding="VALID")
+    return window / float(factor * factor)
 
 
 def quantize_u8(x: Array) -> Array:
