@@ -113,8 +113,13 @@ class BrokenSpectrogram:
 
     @property
     def spectrogram_frequencies(self) -> np.ndarray:
-        return spectral.scale_frequencies(
-            self.minimum_frequency, self.maximum_frequency, self.spectrogram_bins, self.scale)
+        key = (self.minimum_frequency, self.maximum_frequency, self.spectrogram_bins)
+        cached = getattr(self, "_freq_cache", None)
+        if cached is None or cached[0] != key:
+            self._freq_cache = (key, spectral.scale_frequencies(
+                self.minimum_frequency, self.maximum_frequency,
+                self.spectrogram_bins, self.scale))
+        return self._freq_cache[1]
 
     def spectrogram_matrix(self) -> np.ndarray:
         """(bins x fft_bins) dense Whittaker-Shannon band matrix. Dense by

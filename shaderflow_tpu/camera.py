@@ -134,13 +134,24 @@ class ShaderCamera(ShaderModule):
         return (self.projection == CameraProjection.Perspective
                 and bool(np.allclose(self.rotation.value, qt.IDENTITY, atol=1e-7)))
 
+    def _basis(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+        """Per-frame-cached (right, up, forward, trivial): three quaternion
+        rotations + an allclose dominate the host pipeline sweep otherwise."""
+        key = self.rotation.value.tobytes()
+        cached = getattr(self, "_basis_cache", None)
+        if cached is None or cached[0] != key:
+            self._basis_cache = (key, self.right, self.up, self.forward, self.trivial)
+        return self._basis_cache[1:]
+
     def pipeline(self) -> Iterable[ShaderVariable]:
+        right, up, forward, trivial = self._basis()
         yield StaticUniform("int", f"{self.name}Mode", self.mode.value)
         yield StaticUniform("int", f"{self.name}Projection", self.projection.value)
-        yield StaticUniform("bool", f"{self.name}Trivial", self.trivial)
-        yield Uniform("vec3", f"{self.name}Right", self.right)
-        yield Uniform("vec3", f"{self.name}Upward", self.up)
-        yield Uniform("vec3", f"{self.name}Forward", self.forward)
+        yield StaticUniform("bool", f"{self.name}Trivial",
+                            trivial and self.projection == CameraProjection.Perspective)
+        yield Uniform("vec3", f"{self.name}Right", right)
+        yield Uniform("vec3", f"{self.name}Upward", up)
+        yield Uniform("vec3", f"{self.name}Forward", forward)
 
     # -- vector actions (camera.py:209-235) ----------------------------------
 

@@ -82,19 +82,33 @@ class ShaderVariable:
 
     def coerce(self) -> np.ndarray:
         """Convert .value to the canonical numpy array for batching."""
-        info = TYPE_INFO.get(self.type)
-        if info is None:
-            raise TypeError(f"Cannot batch variable of type {self.type!r} ({self.name})")
-        dtype, count = info
+        kind = self.type
         value = self.value
-        if self.type == "bool":
-            value = int(bool(value))
+        # Fast paths for the overwhelmingly common scalar uniforms (the
+        # pipeline sweep runs per frame on the host hot loop)
+        if kind == "float":
+            try:
+                return np.float32(value)
+            except TypeError:
+                pass
+        elif kind == "int":
+            try:
+                return np.int32(value)
+            except TypeError:
+                pass
+        elif kind == "bool":
+            return np.int32(bool(value))
+
+        info = TYPE_INFO.get(kind)
+        if info is None:
+            raise TypeError(f"Cannot batch variable of type {kind!r} ({self.name})")
+        dtype, count = info
         array = np.asarray(value, dtype=dtype).reshape(-1)
         if array.size == 1 and count > 1:
             array = np.repeat(array, count)
         if array.size != count:
             raise ValueError(
-                f"Variable {self.name}: {self.type} expects {count} components, got {array.size}")
+                f"Variable {self.name}: {kind} expects {count} components, got {array.size}")
         return array if count > 1 else array.reshape(())
 
 
