@@ -214,12 +214,13 @@ class Waveform(ShaderScene):
 
 def bars_frag(sf):
     """Two-channel frequency bars (bars.frag). The swizzled sample at
-    astuv.yx is axis-aligned -> separable (transposed) sampling."""
+    astuv.yx hits a single-column texture (length=0), so the whole lookup
+    is a 1D line over x — no per-pixel sampling, no transposes."""
     from shaderflow_tpu.ops.sampling import sample_separable
     cam = sf.camera
-    swizzled = sample_separable(sf.tex("iSpectrogram"),
-                                sf.astuv[:, 0, 1], sf.astuv[0, :, 0])
-    intensity = jnp.sqrt(jnp.transpose(swizzled, (1, 0, 2))[..., 0:2]) / 120.0
+    line = sample_separable(sf.tex("iSpectrogram"),
+                            jnp.full((1,), 0.5), sf.astuv[0, :, 0])  # (W', 1, C)
+    intensity = jnp.sqrt(line[:, 0, 0:2])[None, :, :] / 120.0        # (1, W', 2)
     ax, ay = sf.astuv[..., 0], sf.astuv[..., 1]
     rgb = jnp.zeros(ax.shape + (3,), jnp.float32)
     rgb = rgb.at[..., 0].add(jnp.where(ay < intensity[..., 0], 1.0, 0.0))
