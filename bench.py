@@ -36,6 +36,7 @@ def main() -> None:
 
     import demo
     import fractals
+    import piano_roll
 
     scene_class = {
         "visualizer": demo.Visualizer,
@@ -43,6 +44,9 @@ def main() -> None:
         "basic": demo.Basic,
         "raymarch": demo.RayMarch,
         "mandelbrot": fractals.Mandelbrot,
+        "pianoroll": piano_roll.PianoRoll,
+        "shadertoy": demo.ShaderToy,
+        "life": demo.Life,
     }[which]
 
     common = dict(width=width, height=height, fps=fps, ssaa=ssaa,
