@@ -23,26 +23,17 @@ from shaderflow_tpu.scene import ShaderScene
 
 
 def mandelbrot_frag(sf):
-    """Escape-time Mandelbrot with magma palette (mandelbrot.frag)."""
+    """Escape-time Mandelbrot with magma palette (mandelbrot.frag).
+
+    Iteration runs through ops.fractal.escape_iterations: per-VMEM-tile
+    early-exit while loops on TPU (frame cost follows each tile's own
+    escape time), masked fori_loop elsewhere."""
+    from shaderflow_tpu.ops.fractal import escape_iterations
     cam = sf.camera
-    z0 = cam.gluv - vec2(0.5, 0.0)
-    c = z0
+    c = cam.gluv - vec2(0.5, 0.0)
 
     quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
-
-    def body(_, state):
-        z, iters, escaped = state
-        znew = cmul(z, z) + c
-        active = ~escaped
-        z = jnp.where(active[..., None], znew, z)
-        escaped = escaped | (ops.length(z) > 3.0)
-        iters = iters + active.astype(jnp.int32)
-        return z, iters, escaped
-
-    z = z0
-    iters = jnp.zeros(z.shape[:-1], jnp.int32)
-    escaped = ops.length(z) > 3.0
-    z, iters, escaped = lax.fori_loop(0, quality, body, (z, iters, escaped))
+    iters = escape_iterations(c, quality, radius=3.0)
 
     t = jnp.power(1.0 - iters.astype(jnp.float32) / quality, 20.0)
     rgb = ops.palette_magma(t)

@@ -1,0 +1,101 @@
+"""
+Escape-time fractal iteration with per-tile early exit.
+
+The divergence problem of iteration-heavy pixels (SURVEY.md §7 "hard
+parts"): a fixed-trip masked fori_loop costs max_iter iterations for EVERY
+pixel, but escape times are spatially coherent — most VMEM tiles of a
+Mandelbrot view escape within a few dozen iterations while only
+interior-set tiles need the full budget. The Pallas kernel runs an
+independent while_loop per tile (the TPU analogue of GPU warp early-exit),
+so frame cost follows the *per-tile maximum* escape time instead of the
+global maximum.
+
+escape_iterations() dispatches: Pallas on TPU backends, the equivalent
+masked fori_loop on CPU (tests / fallback). Both orderings match the
+reference GLSL loop (mandelbrot.frag): check |z| > radius, then z = z^2 + c.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _escape_xla(cx: Array, cy: Array, max_iter: int, radius: float) -> Array:
+    r2 = radius * radius
+
+    def body(_, state):
+        zx, zy, iters, escaped = state
+        nx = zx * zx - zy * zy + cx
+        ny = 2.0 * zx * zy + cy
+        active = ~escaped
+        zx = jnp.where(active, nx, zx)
+        zy = jnp.where(active, ny, zy)
+        escaped = escaped | (zx * zx + zy * zy > r2)
+        return zx, zy, iters + active.astype(jnp.int32), escaped
+
+    zx, zy = cx, cy
+    iters = jnp.zeros(cx.shape, jnp.int32)
+    escaped = zx * zx + zy * zy > r2
+    _, _, iters, _ = jax.lax.fori_loop(0, max_iter, body, (zx, zy, iters, escaped))
+    return iters
+
+
+def _escape_pallas(cx: Array, cy: Array, max_iter: int, radius: float,
+                   tile: tuple[int, int] = (256, 256)) -> Array:
+    r2 = radius * radius
+    height, width = cx.shape
+    th = min(tile[0], height)
+    tw = min(tile[1], width)
+
+    def kernel(cx_ref, cy_ref, out_ref):
+        cx_t = cx_ref[:]
+        cy_t = cy_ref[:]
+
+        def cond(state):
+            k, _, _, _, escaped = state
+            return (k < max_iter) & jnp.logical_not(jnp.all(escaped))
+
+        def body(state):
+            k, zx, zy, iters, escaped = state
+            nx = zx * zx - zy * zy + cx_t
+            ny = 2.0 * zx * zy + cy_t
+            active = jnp.logical_not(escaped)
+            zx = jnp.where(active, nx, zx)
+            zy = jnp.where(active, ny, zy)
+            escaped = escaped | (zx * zx + zy * zy > r2)
+            return k + 1, zx, zy, iters + active.astype(jnp.int32), escaped
+
+        escaped0 = cx_t * cx_t + cy_t * cy_t > r2
+        iters0 = jnp.zeros_like(cx_t, jnp.int32)
+        _, _, _, iters, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cx_t, cy_t, iters0, escaped0))
+        out_ref[:] = iters
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
+        in_specs=[pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        grid=(pl.cdiv(height, th), pl.cdiv(width, tw)),
+    )(cx, cy)
+
+
+def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
+    """Mandelbrot escape-time iteration count per pixel for c = (..., 2).
+
+    Semantics match the reference loop (examples/fractals mandelbrot.frag):
+    break when |z| > radius, else z = z*z + c, starting from z = c.
+    """
+    cx, cy = c[..., 0], c[..., 1]
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            return _escape_pallas(cx, cy, int(max_iter), float(radius))
+        except Exception:  # pragma: no cover — pallas unavailable/lowering gap
+            pass
+    return _escape_xla(cx, cy, int(max_iter), float(radius))
