@@ -56,25 +56,25 @@ def _escape_pallas(cx: Array, cy: Array, max_iter: int, radius: float,
         cx_t = cx_ref[:]
         cy_t = cy_ref[:]
 
+        # Masks carried as f32 (Mosaic cannot carry i1 vectors in while)
         def cond(state):
-            k, _, _, _, escaped = state
-            return (k < max_iter) & jnp.logical_not(jnp.all(escaped))
+            k, _, _, _, active = state
+            return (k < max_iter) & (jnp.max(active) > 0.0)
 
         def body(state):
-            k, zx, zy, iters, escaped = state
+            k, zx, zy, iters, active = state
             nx = zx * zx - zy * zy + cx_t
             ny = 2.0 * zx * zy + cy_t
-            active = jnp.logical_not(escaped)
-            zx = jnp.where(active, nx, zx)
-            zy = jnp.where(active, ny, zy)
-            escaped = escaped | (zx * zx + zy * zy > r2)
-            return k + 1, zx, zy, iters + active.astype(jnp.int32), escaped
+            zx = zx + active * (nx - zx)
+            zy = zy + active * (ny - zy)
+            inside = jnp.where(zx * zx + zy * zy > r2, 0.0, 1.0)
+            return k + 1, zx, zy, iters + active, active * inside
 
-        escaped0 = cx_t * cx_t + cy_t * cy_t > r2
-        iters0 = jnp.zeros_like(cx_t, jnp.int32)
+        active0 = jnp.where(cx_t * cx_t + cy_t * cy_t > r2, 0.0, 1.0)
+        iters0 = jnp.zeros_like(cx_t)
         _, _, _, iters, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), cx_t, cy_t, iters0, escaped0))
-        out_ref[:] = iters
+            cond, body, (jnp.int32(0), cx_t, cy_t, iters0, active0))
+        out_ref[:] = iters.astype(jnp.int32)
 
     return pl.pallas_call(
         kernel,
@@ -86,6 +86,25 @@ def _escape_pallas(cx: Array, cy: Array, max_iter: int, radius: float,
     )(cx, cy)
 
 
+_PALLAS_OK: dict[str, bool] = {}
+
+
+def _pallas_supported() -> bool:
+    """Probe once per backend: lower+compile a tiny kernel (lowering errors
+    surface at the outer jit compile, not at trace time — a plain try around
+    the traced call would never catch them)."""
+    backend = jax.default_backend()
+    if backend not in _PALLAS_OK:
+        try:
+            probe = jnp.zeros((256, 256), jnp.float32)
+            jax.jit(lambda a, b: _escape_pallas(a, b, 4, 3.0)).lower(
+                probe, probe).compile()
+            _PALLAS_OK[backend] = True
+        except Exception:
+            _PALLAS_OK[backend] = False
+    return _PALLAS_OK[backend]
+
+
 def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
     """Mandelbrot escape-time iteration count per pixel for c = (..., 2).
 
@@ -93,9 +112,6 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
     break when |z| > radius, else z = z*z + c, starting from z = c.
     """
     cx, cy = c[..., 0], c[..., 1]
-    if jax.default_backend() in ("tpu", "axon"):
-        try:
-            return _escape_pallas(cx, cy, int(max_iter), float(radius))
-        except Exception:  # pragma: no cover — pallas unavailable/lowering gap
-            pass
+    if jax.default_backend() in ("tpu", "axon") and _pallas_supported():
+        return _escape_pallas(cx, cy, int(max_iter), float(radius))
     return _escape_xla(cx, cy, int(max_iter), float(radius))
