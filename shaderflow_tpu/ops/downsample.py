@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from shaderflow_tpu.ops.sampling import Sampler2D, sample
+from shaderflow_tpu.ops.sampling import Sampler2D, sample, sample_separable
 
 Array = jax.Array
 
@@ -84,22 +84,26 @@ def ssaa_downsample(
     if (rh == out_height * subsample) and (rw == out_width * subsample) and subsample > 1:
         return box_downsample(render, subsample)
 
-    # General path: subsample^2 bilinear taps per output pixel (final.glsl:21-29)
+    # General path: subsample^2 bilinear taps per output pixel
+    # (final.glsl:21-29). The tap grid is axis-aligned over an axis-aligned
+    # resample, so every tap is a separable sample (MXU matmuls) — the
+    # pointwise formulation lowers to millions of serial gathers on TPU.
     tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
-    astuv = _output_astuv(out_height, out_width)
+    u_centers = (jnp.arange(out_width, dtype=jnp.float32) + 0.5) / out_width
+    v_centers = 1.0 - (jnp.arange(out_height, dtype=jnp.float32) + 0.5) / out_height
 
     if subsample == 1:
-        return sample(tex, astuv)
+        return sample_separable(tex, u_centers, v_centers)[..., :components]
 
-    pixel = jnp.array([1.0 / out_width, 1.0 / out_height], jnp.float32)
-    corner = astuv - pixel / 2.0
-    origin = corner + (pixel / subsample) / 2.0
-    acc = jnp.zeros((out_height, out_width, components), jnp.float32)
+    pixel_u = 1.0 / out_width
+    pixel_v = 1.0 / out_height
+    acc = jnp.zeros((out_height, out_width, render.shape[2]), jnp.float32)
     for x in range(subsample):
         for y in range(subsample):
-            offset = (pixel / subsample) * jnp.array([x, y], jnp.float32)
-            acc = acc + sample(tex, origin + offset)
-    return acc / float(subsample * subsample)
+            du = -pixel_u / 2.0 + (pixel_u / subsample) * (0.5 + x)
+            dv = -pixel_v / 2.0 + (pixel_v / subsample) * (0.5 + y)
+            acc = acc + sample_separable(tex, u_centers + du, v_centers + dv)
+    return acc[..., :components] / float(subsample * subsample)
 
 
 def final_pass(render: Array, out_height: int, out_width: int, subsample: int = 2) -> Array:
