@@ -77,20 +77,24 @@ class MultiShader(ShaderScene):
 
 # ---------------------------------------------------------------------------- #
 
-def _blur(sf, tex, stuv, radius, directions, steps):
-    """Walk in circles around the pixel and integrate samples
-    (multipass.frag blur())."""
-    color = jnp.zeros(stuv.shape[:-1] + (4,), jnp.float32)
-    weights = 0.0
+def _blur(sf, tex, radius, directions, steps):
+    """Walk in circles around the pixel and integrate weighted samples
+    (multipass.frag blur()) — the constant tap pattern collapses into one
+    texture-space kernel + convolution (the sample coordinate is astuv
+    itself, so no resample is even needed)."""
+    from shaderflow_tpu.ops.sampling import convolve2d, splat_kernel
+    taps, weights = [], []
     for d in range(directions):
         direction = TAU * d / directions
         for s in range(1, steps):
             walk = s / steps
-            offset = vec2(math.cos(direction), math.sin(direction)) * radius * walk / 2000.0
-            weight = 1.0 - (radius * walk / 2000.0) / radius
-            color = color + sf.texture(tex, stuv + offset) * weight
-            weights += weight
-    return color / weights
+            offset_uv = (radius * walk / 2000.0)
+            taps.append((math.cos(direction) * offset_uv * tex.width,
+                         -math.sin(direction) * offset_uv * tex.height))
+            weights.append(1.0 - offset_uv / radius)
+    kernel = splat_kernel(jnp.asarray(taps, jnp.float32), size=13,
+                          weights=jnp.asarray(weights, jnp.float32))
+    return convolve2d(tex.data, kernel) / sum(weights)
 
 
 class Multipass(ShaderScene):
@@ -106,7 +110,7 @@ class Multipass(ShaderScene):
             color = sf.texture(sf.tex("iScreen", 0, 0), sf.astuv)
             inverted = ops.with_rgb(color, jnp.stack(
                 [1.0 - color[..., 0], color[..., 1], color[..., 2]], axis=-1))
-            blurred = _blur(sf, sf.tex("iScreen", 0, 0), sf.astuv, 5.0, 8, 8)
+            blurred = _blur(sf, sf.tex("iScreen", 0, 0), 5.0, 8, 8)
             out = jnp.where(sf.gluv[..., 0:1] < 0, inverted, blurred)
             return ops.with_alpha(out, 1.0)
         self.shader.fragment = frag

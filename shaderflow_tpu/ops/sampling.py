@@ -164,7 +164,7 @@ def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array,
     return jax.lax.optimization_barrier(out)
 
 
-def splat_kernel(offsets: Array, size: int) -> Array:
+def splat_kernel(offsets: Array, size: int, weights: Array = None) -> Array:
     """Build a tap kernel from N continuous offsets by bilinear splatting:
     K = sum_j hat(x - dx_j) (x) hat(y - dy_j). Sampling a texture at p + d_j
     for all j and summing is EXACTLY applying this kernel around p then
@@ -180,6 +180,8 @@ def splat_kernel(offsets: Array, size: int) -> Array:
     dy = offsets[:, 1:2]
     hat_x = jnp.maximum(1.0 - jnp.abs(grid[None, :] - dx), 0.0)   # (N, size)
     hat_y = jnp.maximum(1.0 - jnp.abs(grid[None, :] - dy), 0.0)
+    if weights is not None:
+        hat_x = hat_x * jnp.asarray(weights, jnp.float32)[:, None]
     return jnp.einsum("ny,nx->yx", hat_y, hat_x)      # (size, size)
 
 
