@@ -65,8 +65,11 @@ def _escape_pallas(cx: Array, cy: Array, max_iter: int, radius: float,
             k, zx, zy, iters, active = state
             nx = zx * zx - zy * zy + cx_t
             ny = 2.0 * zx * zy + cy_t
-            zx = zx + active * (nx - zx)
-            zy = zy + active * (ny - zy)
+            live = active > 0.5
+            # select, not a*(n-z) arithmetic: bit-exact parity with the
+            # masked fori_loop fallback (a + (n-a) reassociates)
+            zx = jnp.where(live, nx, zx)
+            zy = jnp.where(live, ny, zy)
             inside = jnp.where(zx * zx + zy * zy > r2, 0.0, 1.0)
             return k + 1, zx, zy, iters + active, active * inside
 
