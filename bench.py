@@ -31,7 +31,9 @@ def main() -> None:
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     fps = float(os.environ.get("BENCH_FPS", 60.0))
     ssaa = float(os.environ.get("BENCH_SSAA", 2.0))
-    batch = int(os.environ.get("BENCH_BATCH", 0)) or None
+    # Fixed default batch so repeat runs (and the persistent compile cache)
+    # always see identical program shapes
+    batch = int(os.environ.get("BENCH_BATCH", 64))
     which = os.environ.get("BENCH_SCENE", "visualizer")
 
     import demo
