@@ -488,7 +488,13 @@ class ShaderScene(ShaderModule):
         if preview is not None:
             preview.destroyAllWindows()
 
+    frame_limit: Optional[int] = None
+    """Stop the realtime loop after N frames (tests / timed demos)."""
+
     def _realtime_frame(self, dt: float = 0.0) -> None:
+        if self.frame_limit is not None and self.frame >= self.frame_limit:
+            self.quit = True
+            return
         self.engine.begin_batch()
         self.next(dt=dt)
         frames = self.engine.flush(1)

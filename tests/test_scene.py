@@ -188,3 +188,12 @@ def test_custom_uniform_pipeline():
 
     frames = export_frames(WithUniform(), frames=1)
     assert frames[0, 0, 0, 0] == 128
+
+
+def test_realtime_loop_frame_limited():
+    """The scheduler-paced realtime path runs and terminates via frame_limit."""
+    scene = Solid()
+    scene.frame_limit = 3
+    scene.main(width=32, height=16, fps=240, output=None, freewheel=False)
+    assert scene.quit
+    assert scene.frame >= 3
