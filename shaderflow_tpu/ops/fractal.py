@@ -117,7 +117,7 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
     cx, cy = c[..., 0], c[..., 1]
     if jax.default_backend() in ("tpu", "axon") and _pallas_supported():
         import os
-        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "256x256")
+        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "128x256")  # A/B winner on v5e
         th, tw = (int(x) for x in tile.split("x"))
         return _escape_pallas(cx, cy, int(max_iter), float(radius), tile=(th, tw))
     return _escape_xla(cx, cy, int(max_iter), float(radius))
