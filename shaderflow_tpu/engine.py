@@ -228,9 +228,10 @@ class RenderEngine:
                 packed_row, frame_streams = per_frame
                 frame_uniforms = unpack_uniforms(packed_row, spec)
                 textures = dict(static_tex)
-                # Device-resident per-frame sequences: index by frame number
+                # Device-resident per-frame sequences: index by the stepped
+                # frame counter (speed-independent, unlike iFrame)
                 for name, sequence in sequences.items():
-                    index = jnp.clip(frame_uniforms["iFrame"], 0, sequence.shape[0] - 1)
+                    index = jnp.clip(frame_uniforms["iFrameIndex"], 0, sequence.shape[0] - 1)
                     box = jax.lax.dynamic_index_in_dim(sequence, index, 0, keepdims=False)
                     textures[name] = box[None, None]  # (1, 1, H, W, C)
                 textures.update(frame_streams)

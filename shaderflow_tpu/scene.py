@@ -66,6 +66,7 @@ class ShaderScene(ShaderModule):
 
         # Temporal model
         self.time: float = 0.0
+        self._frame_counter: int = 0
         self.speed: float = 1.0
         self.runtime: float = 10.0
         self.fps: float = 60.0
@@ -294,6 +295,7 @@ class ShaderScene(ShaderModule):
         self.dt = dt * self.speed
         self.rdt = dt
         self.time += self.dt
+        self._frame_counter += 1
 
     def screenshot(self) -> np.ndarray:
         """Render the current frame once; (H, W, 3) uint8."""
@@ -375,6 +377,7 @@ class ShaderScene(ShaderModule):
         self.time = 0.0
         self.dt = 0.0
         self.rdt = 0.0
+        self._frame_counter = 0
         self.relay(ShaderMessage.Shader.Compile)
         self.scheduler.clear()
 
@@ -577,6 +580,9 @@ class ShaderScene(ShaderModule):
         yield Uniform("float", "iSSAA", self.ssaa)
         yield Uniform("float", "iFramerate", self.fps)
         yield Uniform("int", "iFrame", self.frame)
+        # True stepped-frame counter (== iFrame only when speed == 1); the
+        # engine indexes device-resident texture sequences with it
+        yield Uniform("int", "iFrameIndex", self._frame_counter)
         yield Uniform("bool", "iRealtime", self.realtime)
         yield Uniform("vec2", "iMouse", self.mouse_gluv)
         yield Uniform("bool", "iMouseInside", self.mouse_inside)
