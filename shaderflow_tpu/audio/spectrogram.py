@@ -197,6 +197,7 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
 
         fps = self.scene.fps
         total = max(1, round(self.scene.runtime * fps))
+        smoothing_dt = abs(self.scene.speed) / fps or 1.0 / fps
         samplerate = self.audio.samplerate
         ends = np.round(np.arange(total) * samplerate / fps).astype(np.int32)
         offsets = ends - int(2 ** self.fft_n)
@@ -209,7 +210,9 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
                 audio, offsets, self.fft_size, window, matrix,
                 magnitude=self.magnitude)                    # (F, C, bins)
             flat = banded.reshape(total, -1)
-            smoothed = dyn.scan(flat, jnp.zeros(flat.shape[1]), 1.0 / fps,
+            # Per-frame smoothing step uses scene dt = speed/fps, matching
+            # the realtime path's dynamics.next(dt=|scene.dt|)
+            smoothed = dyn.scan(flat, jnp.zeros(flat.shape[1]), smoothing_dt,
                                 frequency=4.0, zeta=1.0, response=0.0)
             return jnp.transpose(smoothed.reshape(banded.shape), (0, 2, 1))
 

@@ -117,3 +117,35 @@ def test_ffhook_adds_input(wav_file):
     scene.audio.ffhook(scene.ffmpeg)
     assert scene.ffmpeg.shortest
     assert any(str(wav_file) == str(getattr(i, "path", "")) for i in scene.ffmpeg.inputs)
+
+
+def test_audio_sequence_indexing_speed_independent(wav_file, tmp_path):
+    """Device-sequence content must follow the stepped frame counter, not
+    scene time: with speed=2 the spectrogram column for rendered frame k is
+    the same as at speed=1 (audio is consumed at the real-time rate)."""
+    from shaderflow_tpu.audio.spectrogram import ShaderSpectrogram
+    from shaderflow_tpu.piano import PianoNote
+
+    class SpectroScene(ShaderScene):
+        def build(self):
+            self.audio = ShaderAudio(scene=self, name="iAudio", file=self.wav)
+            self.spectro = ShaderSpectrogram(scene=self, audio=self.audio, length=0)
+            self.spectro.from_notes(start=PianoNote.from_frequency(100.0),
+                                    end=PianoNote.from_frequency(2000.0), piano=True)
+            self.shader.fragment = lambda sf: ops.vec4(
+                ops.clamp(sf.texture("iSpectrogram", sf.astuv)[..., 0] / 50.0, 0, 1),
+                0.0, 0.0, 1.0)
+
+    SpectroScene.wav = wav_file
+    normal = SpectroScene()
+    normal.main(width=16, height=8, fps=10, time=1.0, output=str(tmp_path / "n.rgb"))
+    fast = SpectroScene()
+    fast.main(width=16, height=8, fps=10, time=2.0, speed=2.0,
+              output=str(tmp_path / "f.rgb"))
+    a = np.fromfile(tmp_path / "n.rgb", np.uint8).reshape(-1, 8, 16, 3)
+    b = np.fromfile(tmp_path / "f.rgb", np.uint8).reshape(-1, 8, 16, 3)
+    assert a.shape == b.shape
+    # Smoothing time constants legitimately differ with speed (scene-dt
+    # stepped); the indexing bug this guards against shifts content by 2x,
+    # far beyond this tolerance
+    np.testing.assert_allclose(a[:, :, :, 0].astype(int), b[:, :, :, 0].astype(int), atol=40)
