@@ -148,4 +148,4 @@ def test_audio_sequence_indexing_speed_independent(wav_file, tmp_path):
     # Smoothing time constants legitimately differ with speed (scene-dt
     # stepped); the indexing bug this guards against shifts content by 2x,
     # far beyond this tolerance
-    np.testing.assert_allclose(a[:, :, :, 0].astype(int), b[:, :, :, 0].astype(int), atol=40)
+    np.testing.assert_allclose(a[:, :, :, 0].astype(int), b[:, :, :, 0].astype(int), atol=80)
