@@ -48,6 +48,32 @@ class Mandelbrot(ShaderScene):
         self.shader.fragment = mandelbrot_frag
 
 
+def julia_frag(sf):
+    """Julia set: same escape iteration with a fixed c and z0 = pixel;
+    the c parameter orbits slowly over time for the classic morphing zoom."""
+    from shaderflow_tpu.ops.fractal import escape_iterations_z0
+    cam = sf.camera
+    z0 = cam.gluv
+    cx = -0.8 + 0.156 * jnp.cos(sf.iTime * 0.31)
+    cy = 0.156 + 0.08 * jnp.sin(sf.iTime * 0.17)
+
+    quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
+    iters = escape_iterations_z0(z0, cx, cy, quality, radius=3.0)
+
+    t = jnp.power(1.0 - iters.astype(jnp.float32) / quality, 8.0)
+    angle = 2.0 * jnp.pi * (iters.astype(jnp.float32) / 64.0)
+    rgb = ops.hsv2rgb3(angle, 0.8, t)
+    rgb = jnp.where(cam.out_of_bounds[..., None], 0.0, rgb)
+    return vec4(rgb, 1.0)
+
+
+class Julia(ShaderScene):
+    """Julia fractal with a time-orbiting parameter"""
+
+    def build(self):
+        self.shader.fragment = julia_frag
+
+
 def tetration_frag(sf):
     """Complex tetration fractal (tetration.frag): Z <- C^Z iterated."""
     cam = sf.camera
@@ -81,7 +107,7 @@ class Tetration(ShaderScene):
         self.shader.fragment = tetration_frag
 
 
-SCENES = [Mandelbrot, Tetration]
+SCENES = [Mandelbrot, Julia, Tetration]
 
 if __name__ == "__main__":
     from shaderflow_tpu.cli import launch

@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _escape_xla(cx: Array, cy: Array, max_iter: int, radius: float) -> Array:
+def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
+                max_iter: int, radius: float) -> Array:
     r2 = radius * radius
 
     def body(_, state):
@@ -38,21 +39,23 @@ def _escape_xla(cx: Array, cy: Array, max_iter: int, radius: float) -> Array:
         escaped = escaped | (zx * zx + zy * zy > r2)
         return zx, zy, iters + active.astype(jnp.int32), escaped
 
-    zx, zy = cx, cy
-    iters = jnp.zeros(cx.shape, jnp.int32)
-    escaped = zx * zx + zy * zy > r2
-    _, _, iters, _ = jax.lax.fori_loop(0, max_iter, body, (zx, zy, iters, escaped))
+    iters = jnp.zeros(zx0.shape, jnp.int32)
+    escaped = zx0 * zx0 + zy0 * zy0 > r2
+    _, _, iters, _ = jax.lax.fori_loop(0, max_iter, body, (zx0, zy0, iters, escaped))
     return iters
 
 
-def _escape_pallas(cx: Array, cy: Array, max_iter: int, radius: float,
+def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
+                   max_iter: int, radius: float,
                    tile: tuple[int, int] = (256, 256)) -> Array:
     r2 = radius * radius
-    height, width = cx.shape
+    height, width = zx0.shape
     th = min(tile[0], height)
     tw = min(tile[1], width)
 
-    def kernel(cx_ref, cy_ref, out_ref):
+    def kernel(zx_ref, zy_ref, cx_ref, cy_ref, out_ref):
+        zx_t = zx_ref[:]
+        zy_t = zy_ref[:]
         cx_t = cx_ref[:]
         cy_t = cy_ref[:]
 
@@ -73,20 +76,20 @@ def _escape_pallas(cx: Array, cy: Array, max_iter: int, radius: float,
             inside = jnp.where(zx * zx + zy * zy > r2, 0.0, 1.0)
             return k + 1, zx, zy, iters + active, active * inside
 
-        active0 = jnp.where(cx_t * cx_t + cy_t * cy_t > r2, 0.0, 1.0)
-        iters0 = jnp.zeros_like(cx_t)
+        active0 = jnp.where(zx_t * zx_t + zy_t * zy_t > r2, 0.0, 1.0)
+        iters0 = jnp.zeros_like(zx_t)
         _, _, _, iters, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), cx_t, cy_t, iters0, active0))
+            cond, body, (jnp.int32(0), zx_t, zy_t, iters0, active0))
         out_ref[:] = iters.astype(jnp.int32)
 
+    block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
-        in_specs=[pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                  pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        in_specs=[block, block, block, block],
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         grid=(pl.cdiv(height, th), pl.cdiv(width, tw)),
-    )(cx, cy)
+    )(zx0, zy0, cx, cy)
 
 
 _PALLAS_OK: dict[str, bool] = {}
@@ -100,7 +103,7 @@ def _pallas_supported() -> bool:
     if backend not in _PALLAS_OK:
         try:
             probe = jnp.zeros((256, 256), jnp.float32)
-            jax.jit(lambda a, b: _escape_pallas(a, b, 4, 3.0)).lower(
+            jax.jit(lambda a, b: _escape_pallas(a, b, a, b, 4, 3.0)).lower(
                 probe, probe).compile()
             _PALLAS_OK[backend] = True
         except Exception:
@@ -115,9 +118,18 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
     break when |z| > radius, else z = z*z + c, starting from z = c.
     """
     cx, cy = c[..., 0], c[..., 1]
+    return escape_iterations_z0(c, cx, cy, max_iter, radius)
+
+
+def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0) -> Array:
+    """General escape iteration: per-pixel z0 (..., 2), c given per-pixel or
+    as (traced) scalars — the Julia-set form."""
+    zx0, zy0 = z0[..., 0], z0[..., 1]
+    cx = jnp.broadcast_to(jnp.asarray(cx, jnp.float32), zx0.shape)
+    cy = jnp.broadcast_to(jnp.asarray(cy, jnp.float32), zy0.shape)
     if jax.default_backend() in ("tpu", "axon") and _pallas_supported():
         import os
         tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "128x256")  # A/B winner on v5e
         th, tw = (int(x) for x in tile.split("x"))
-        return _escape_pallas(cx, cy, int(max_iter), float(radius), tile=(th, tw))
-    return _escape_xla(cx, cy, int(max_iter), float(radius))
+        return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius), tile=(th, tw))
+    return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius))

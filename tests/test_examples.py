@@ -33,7 +33,7 @@ def export(scene_class, frames=2, width=96, height=54, fps=10, **kwargs):
 @pytest.mark.parametrize("scene_class", [
     demo.Basic, demo.ShaderToy, demo.MultiShader, demo.Multipass, demo.MotionBlur,
     demo.Dynamics, demo.Waveform, demo.RayMarch,
-    fractals.Mandelbrot, fractals.Tetration,
+    fractals.Mandelbrot, fractals.Julia, fractals.Tetration,
 ], ids=lambda c: c.__name__)
 def test_scene_exports(scene_class):
     frames = export(scene_class)
