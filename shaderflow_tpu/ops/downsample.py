@@ -63,11 +63,12 @@ def ssaa_downsample(
     """Downsample a supersampled (Hr, Wr, C) float render to
     (out_height, out_width, components) float in [0, 1]."""
     rh, rw = render.shape[0], render.shape[1]
-    # Materialize the supersampled render exactly once: without the barrier
-    # XLA fuses the whole producing shader into EACH pooling tap below,
-    # recomputing the frame subsample^2 times (measured 4x2.7s/batch).
-    render = jax.lax.optimization_barrier(render)
+    # Slice channels FIRST (lets XLA dead-code-eliminate the alpha lane the
+    # shader produced), then materialize the supersampled render exactly
+    # once: without the barrier XLA fuses the whole producing shader into
+    # EACH pooling tap below, recomputing the frame subsample^2 times.
     render = render[..., :components]
+    render = jax.lax.optimization_barrier(render)
 
     # Identity: nothing to resample
     if (rh, rw) == (out_height, out_width) and subsample >= 1:
