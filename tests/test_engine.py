@@ -1,0 +1,110 @@
+"""Engine internals: batch padding semantics, uniform packing, streamed
+promotion persistence, build-key stability (no retrace across runs)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from shaderflow_tpu import ops
+from shaderflow_tpu.scene import ShaderScene
+from shaderflow_tpu.texture import ShaderTexture
+
+
+class Feedback(ShaderScene):
+    """Accumulator: value(k) = value(k-1) + 0.1 — exposes carry corruption."""
+
+    def build(self):
+        self.shader.texture.temporal = 2
+
+        def frag(sf):
+            previous = sf.texture(sf.tex("iScreen", 1, 0), sf.astuv)
+            return ops.vec4(previous[..., 0] + 0.1, 0.0, 0.0, 1.0)
+        self.shader.fragment = frag
+
+
+def test_padded_flush_crops_and_preserves_count():
+    scene = Feedback()
+    scene._setup_run(width=16, height=8, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(3):
+        scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(3, pad_to=8))
+    assert frames.shape[0] == 3
+    # Accumulator values 0.1, 0.2, 0.3
+    np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.1, 0.2, 0.3], atol=0.01)
+
+
+def test_padding_does_advance_carry_past_batch():
+    """Documented hazard: padded frames run through the scan, so the carry
+    after a padded flush reflects the padding. The export loop only pads the
+    final batch (carry unused after); resume/replay must not pad."""
+    scene = Feedback()
+    scene._setup_run(width=16, height=8, fps=10, time=2.0, freewheel=True)
+    engine = scene.engine
+
+    engine.begin_batch()
+    for _ in range(2):
+        scene.next(dt=scene.frametime)
+    engine.flush(2, pad_to=6)  # 4 extra scan steps advance the accumulator
+
+    engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(1))
+    assert frames[0, 0, 0, 0] / 255 > 0.6  # 2 real + 4 padded + 1 = 0.7
+
+
+def test_uniform_packing_roundtrip():
+    scene = Feedback()
+    scene._setup_run(width=16, height=8, fps=10, time=0.5, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(2):
+        scene.next(dt=scene.frametime)
+    packed, spec, streams = engine.stack_captures(2)
+    assert packed.dtype == np.float32 and packed.shape[0] == 2
+    names = [entry[0] for entry in spec]
+    assert "iTime" in names and "iResolution" in names and "iFrameIndex" in names
+    # Offsets tile the row exactly
+    total = sum(entry[2] for entry in spec)
+    assert packed.shape[1] == total
+    # iTime of frame 1 is 1/fps
+    entry = next(e for e in spec if e[0] == "iTime")
+    assert packed[1, entry[1]] == np.float32(1 / 10)
+
+
+def test_streamed_promotion_persists_across_batches():
+    class Streamer(ShaderScene):
+        def build(self):
+            self.tex = ShaderTexture(scene=self, name="s", width=1, height=1,
+                                     components=1, dtype=np.float32)
+            self.n = 0
+            self.shader.fragment = lambda sf: ops.vec4(
+                sf.texture("s", sf.astuv)[..., 0], 0, 0, 1)
+
+        def update(self):
+            self.n += 1
+            self.tex.write(np.full((1, 1, 1), self.n / 10, np.float32))
+
+    scene = Streamer()
+    scene._setup_run(width=8, height=8, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    engine.flush(1)
+    assert "s" in engine._streamed_names
+    jitted = engine._jitted
+
+    engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(1))
+    assert engine._jitted is jitted  # no rebuild across batches
+    np.testing.assert_allclose(frames[0, 0, 0, 0] / 255, 0.2, atol=0.01)
+
+
+def test_no_rebuild_across_runs():
+    scene = Feedback()
+    scene.main(width=16, height=8, fps=10, time=0.3, output="null")
+    jitted = scene.engine._jitted
+    scene.main(width=16, height=8, fps=10, time=0.3, output="null")
+    assert scene.engine._jitted is jitted
