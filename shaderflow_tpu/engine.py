@@ -76,6 +76,10 @@ class RenderEngine:
         self._frame_uniforms: list[dict[str, np.ndarray]] = []
         self._frame_streams: dict[str, list[np.ndarray]] = {}
 
+        # Optional multi-device frame sharding (parallel/mesh.py)
+        self.mesh = None
+        self._sharded_cache: dict = {}
+
     def invalidate(self) -> None:
         self.stale = True
 
@@ -418,6 +422,22 @@ class RenderEngine:
             # captured uniforms/streams remain valid
             self.build()
         packed, spec, streams = self.stack_captures(count, pad_to)
+
+        if self.mesh is not None and not self._carry:
+            # Frame-sharded SPMD path (feedback-free scenes only): the batch
+            # splits F/N per device, uniforms/streams shard on their leading
+            # axis, textures replicate; zero collectives in the hot loop
+            # (parallel/mesh.py). Batch must divide the mesh — scene code
+            # pads flushes accordingly.
+            n = self.mesh.devices.size
+            if packed.shape[0] % n:
+                raise ValueError(
+                    f"frame-sharded flush needs batch % {n} == 0, got {packed.shape[0]} "
+                    f"(pass pad_to a multiple of the mesh size)")
+            frames_u8 = self._sharded(spec)(
+                self._carry, packed, streams, self._static_tex, self._sequences)
+            return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
+
         before = self._jitted._cache_size()
         self._carry, frames_u8 = self._jitted(
             self._carry, packed, streams, self._static_tex, self._sequences, spec)
@@ -427,6 +447,19 @@ class RenderEngine:
                         f"sequences={sorted(self._sequences)} "
                         f"(cache {before}->{self._jitted._cache_size()})")
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
+
+    def _sharded(self, spec):
+        """Cached frame-sharded wrapper of the current render closure."""
+        key = (id(self._render_fn), spec)
+        if key not in self._sharded_cache:
+            from shaderflow_tpu.parallel.mesh import shard_frame_renderer
+            render = self._render_fn
+
+            def step(carry, packed, streams, statics, sequences):
+                return render(carry, packed, streams, statics, sequences, spec)
+
+            self._sharded_cache = {key: shard_frame_renderer(step, self.mesh)}
+        return self._sharded_cache[key]
 
     # ------------------------------------------------------------------ #
 

@@ -21,7 +21,10 @@ from typing import Optional
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def frame_mesh(n_devices: Optional[int] = None, axis: str = "frames") -> Mesh:
@@ -55,11 +58,13 @@ def shard_frame_renderer(render_fn, mesh: Mesh, axis: str = "frames"):
         _, frames = render_fn(carry, packed, streams, statics, sequences)
         return frames
 
-    sharded = shard_map(
-        local,
+    specs = dict(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
-        check_rep=False,
     )
+    try:
+        sharded = shard_map(local, check_vma=False, **specs)
+    except TypeError:  # pre-0.8 shard_map
+        sharded = shard_map(local, check_rep=False, **specs)
     return jax.jit(sharded)

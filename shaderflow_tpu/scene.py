@@ -331,13 +331,19 @@ class ShaderScene(ShaderModule):
         buffers: int = 5,
         batch: Optional[int] = None,
         start: float = 0.0,
+        devices: Optional[int] = None,
     ) -> Optional[Union[Path, bytes]]:
         """Render the scene: realtime preview, or export when output is set.
 
         `start` resumes an export at a content time (seconds): freewheel
         time is deterministic, so frame k is exactly reproducible — the
         segment [start, duration) is rendered to the output and can be
-        concatenated after a crash (FFmpeg.concat_segments)."""
+        concatenated after a crash (FFmpeg.concat_segments).
+
+        `devices` shards each frame batch over that many chips of a 1D
+        jax mesh (frame-parallel SPMD, parallel/mesh.py) — exact only for
+        feedback-free scenes; temporal-feedback scenes fall back to one
+        chip with a warning."""
         final_width, final_height = self._setup_run(
             width=width, height=height, scale=scale, ratio=ratio, fps=fps,
             fullscreen=fullscreen, quality=quality, ssaa=ssaa,
@@ -353,7 +359,8 @@ class ShaderScene(ShaderModule):
 
         if self.realtime:
             return self._realtime_loop(frameskip)
-        return self._export_loop(export, batch, start_frame=round(start * self.fps))
+        return self._export_loop(export, batch, start_frame=round(start * self.fps),
+                                 devices=devices)
 
     def _setup_run(self, *, width=1920, height=1080, scale=1.0, ratio=None,
                    fps=60.0, fullscreen=False, quality=50.0, ssaa=1.0,
@@ -410,10 +417,29 @@ class ShaderScene(ShaderModule):
         return int(np.clip(2 ** 26 // max(1, pixels), 4, 64))
 
     def _export_loop(self, export: ExportingHelper, batch: Optional[int],
-                     start_frame: int = 0):
+                     start_frame: int = 0, devices: Optional[int] = None):
         total = export.total_frames
         size = int(batch or self.default_batch_size())
         pending = None
+
+        self.engine.mesh = None
+        if devices and devices > 1:
+            from shaderflow_tpu.parallel.mesh import frame_mesh, supports_frame_sharding
+            import jax
+            available = len(jax.devices())
+            if not supports_frame_sharding(self):
+                logger.warning("Scene has temporal feedback; frame sharding "
+                               "is inexact — rendering on one chip")
+            elif available < devices:
+                logger.warning(f"Requested {devices} devices, {available} "
+                               f"available — rendering on one chip")
+            else:
+                # Each flush pads to `size`, so sizing the batch to a
+                # multiple of the mesh keeps every launch shardable.
+                size = max(size, devices) // devices * devices
+                self.engine.mesh = frame_mesh(devices)
+                logger.info(f"Frame-sharded export over {devices} devices "
+                            f"(batch {size}, {size // devices}/chip)")
 
         # Resume: fast-forward module state to start_frame. Stateless scenes
         # (no temporal feedback) replay host updates only; feedback scenes

@@ -70,3 +70,33 @@ def test_output_is_frame_sharded():
     renderer = shard_frame_renderer(step, mesh)
     out = renderer(*args)
     assert len(out.sharding.device_set) == 8
+
+
+def test_exported_video_identical_with_devices(tmp_path):
+    """End-to-end: scene.main(devices=8) produces bit-identical raw output
+    to the single-chip path (stateless scene, uneven final batch)."""
+    single = tmp_path / "single.raw"
+    sharded = tmp_path / "sharded.raw"
+    Ramp().main(width=64, height=32, fps=10, time=1.1, output=str(single),
+                batch=8)
+    Ramp().main(width=64, height=32, fps=10, time=1.1, output=str(sharded),
+                batch=8, devices=8)
+    assert single.read_bytes() == sharded.read_bytes()
+
+
+def test_feedback_scene_falls_back_to_single_chip(tmp_path):
+    """Temporal-feedback scenes can't shard frames; devices=N must warn and
+    still render correctly."""
+    class Feedback(ShaderScene):
+        def build(self):
+            self.shader.texture.temporal = 2
+            self.shader.fragment = lambda sf: ops.vec4(
+                sf.texture(sf.tex("iScreen", 1, 0), sf.astuv)[..., 0] + 0.1,
+                0.0, 0.0, 1.0)
+
+    out = tmp_path / "fb.raw"
+    Feedback().main(width=16, height=8, fps=10, time=0.3, output=str(out),
+                    devices=8)
+    frames = np.frombuffer(out.read_bytes(), np.uint8).reshape(3, 8, 16, 3)
+    np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.1, 0.2, 0.3],
+                               atol=0.01)
