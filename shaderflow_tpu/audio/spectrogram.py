@@ -228,12 +228,17 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         self.texture.filter = "linear" if self.smooth else "nearest"
         self.texture.resolution = (self.length_samples, self.spectrogram_bins)
 
-        if self.scene.freewheel and self._precomputed is None and self.length_samples == 1:
+        if self.scene.freewheel and self._precomputed is None:
             columns = self._precompute()                    # device (F, bins, C)
             if columns is not None:
                 # Device-resident; storage row 0 = top = highest bin (the
-                # host write path stores bin 0 at the bottom, GL order)
-                self.texture.set_sequence(columns[:, ::-1][:, :, None, :])
+                # host write path stores bin 0 at the bottom, GL order).
+                # length>1 (scrolling texture): a RING sequence — the engine
+                # synthesizes the (bins, L) ring of the last L columns
+                # inside the render scan, so nothing streams per frame.
+                window = self.length_samples if self.length_samples > 1 else None
+                self.texture.set_sequence(columns[:, ::-1][:, :, None, :],
+                                          window=window)
                 self._precomputed = columns
 
         self.offset = (self.offset + 1) % self.length_samples

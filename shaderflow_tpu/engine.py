@@ -68,6 +68,7 @@ class RenderEngine:
         self._static_tex: dict[str, jax.Array] = {}
         self._static_versions: dict[str, int] = {}
         self._sequences: dict[str, jax.Array] = {}
+        self._sequence_windows: dict[str, int] = {}
         self._statics: dict[str, Any] = {}
         self._streamed_names: set[str] = set()
         self._uniform_kinds: dict[str, str] = {}
@@ -128,8 +129,14 @@ class RenderEngine:
         # are jit arguments, so the closure is generic over them — changing
         # them retraces through the jit cache without discarding previously
         # compiled signatures (a rebuilt closure would recompile everything).
+        # Ring WINDOWS are structural (they change the traced indexing), so
+        # they do participate.
+        windows = tuple(sorted(
+            (name, tex.sequence_window)
+            for name, tex in self._external_textures().items()
+            if tex.sequence is not None and tex.sequence_window))
         return (textures, statics, scene._final.texture.resolution,
-                int(scene.subsample), scene.aspect_ratio)
+                int(scene.subsample), scene.aspect_ratio, windows)
 
     def build(self) -> None:
         key = self._compute_build_key()
@@ -174,9 +181,10 @@ class RenderEngine:
         self._static_tex = {}
         self._static_versions = {}
         self._sequences = {}
+        self._sequence_windows = {}
         for name, tex in externals.items():
             if tex.sequence is not None:
-                self._sequences[name] = jnp.asarray(tex.sequence)
+                self._bind_sequence(name, tex)
                 self._streamed_names.discard(name)
                 tex.dirty = False
                 continue
@@ -209,6 +217,7 @@ class RenderEngine:
         statics = dict(self._statics)
         program_list = list(programs)
         meta_snapshot = dict(meta)
+        seq_windows = dict(self._sequence_windows)
 
         def unpack_uniforms(row, spec):
             """Split one packed f32 row back into named uniform values.
@@ -235,8 +244,25 @@ class RenderEngine:
                 # Device-resident per-frame sequences: index by the stepped
                 # frame counter (speed-independent, unlike iFrame)
                 for name, sequence in sequences.items():
-                    index = jnp.clip(frame_uniforms["iFrameIndex"], 0, sequence.shape[0] - 1)
-                    box = jax.lax.dynamic_index_in_dim(sequence, index, 0, keepdims=False)
+                    window = seq_windows.get(name, 0)
+                    if window > 1:
+                        # Ring sequence: the texture at frame k is the ring
+                        # of the last `window` columns. The sequence is
+                        # front-padded with window-1 zero columns, so the
+                        # slice at start=k spans columns k-window+1..k
+                        # (oldest first); rolling by k+2 reproduces the host
+                        # write layout (column k sits at x=(k+1)%window).
+                        k = jnp.clip(frame_uniforms["iFrameIndex"], 0,
+                                     sequence.shape[0] - window)
+                        lin = jax.lax.dynamic_slice_in_dim(
+                            sequence, k, window, axis=0)       # (L, H, 1, C)
+                        ring = jnp.roll(lin, k + 2, axis=0)
+                        box = jnp.transpose(ring[:, :, 0, :], (1, 0, 2))
+                    else:
+                        index = jnp.clip(frame_uniforms["iFrameIndex"], 0,
+                                         sequence.shape[0] - 1)
+                        box = jax.lax.dynamic_index_in_dim(
+                            sequence, index, 0, keepdims=False)
                     textures[name] = box[None, None]  # (1, 1, H, W, C)
                 textures.update(frame_streams)
                 textures.update(carry)
@@ -289,19 +315,37 @@ class RenderEngine:
     # Batch capture (host side, per frame)
 
     def begin_batch(self) -> None:
+        if not self.stale:
+            self._refresh_static_textures()  # may invalidate (ring change)
         if self.stale:
             self.build()
-        else:
-            self._refresh_static_textures()
         self._frame_uniforms = []
         self._frame_streams = {name: [] for name in self._streamed_names}
+
+    def _bind_sequence(self, name: str, tex) -> None:
+        """Bind a device sequence. Ring sequences (sequence_window=L) are
+        per-frame (H, 1, C) columns; front-pad L-1 zero columns so the
+        in-scan window slice at frame 0 sees an empty history (matching the
+        host ring's zero-initialized texture)."""
+        seq = jnp.asarray(tex.sequence)
+        window = tex.sequence_window or 0
+        if window > 1:
+            pad = jnp.zeros((window - 1,) + seq.shape[1:], seq.dtype)
+            seq = jnp.concatenate([pad, seq], axis=0)
+            self._sequence_windows[name] = window
+        else:
+            self._sequence_windows.pop(name, None)
+        self._sequences[name] = seq
 
     def _refresh_static_textures(self) -> None:
         """Re-upload any texture whose host copy changed between batches
         (e.g. a file-drop background swap); rebind device sequences."""
         for name, tex in self._external_textures().items():
             if tex.sequence is not None:
-                self._sequences[name] = jnp.asarray(tex.sequence)
+                if (tex.sequence_window or None) != self._sequence_windows.get(name):
+                    self.invalidate()  # ring structure changed: retrace
+                    continue
+                self._bind_sequence(name, tex)
                 self._static_tex.pop(name, None)
                 tex.dirty = False
                 continue

@@ -78,6 +78,7 @@ class ShaderTexture(ShaderModule):
         audio paths), the render scan indexes it by the absolute frame
         number instead of streaming host snapshots — zero per-batch
         host->device traffic for per-frame textures (set_sequence())."""
+        self.sequence_window: Optional[int] = None  # ring window L (set_sequence)
 
         super().__init__(scene=scene, name=name, **kwargs)
 
@@ -309,14 +310,23 @@ class ShaderTexture(ShaderModule):
     def is_empty(self) -> bool:
         return self.empty
 
-    def set_sequence(self, array, quantize: int = 256) -> "ShaderTexture":
+    def set_sequence(self, array, quantize: int = 256,
+                     window: Optional[int] = None) -> "ShaderTexture":
         """Bind a device-resident (F_total, H, W, C) per-frame content
         sequence (row 0 = top, same storage convention as the matrix).
         Pass None to return to host-written content.
 
         The frame axis is edge-padded up to a multiple of `quantize` so
         exports of different durations share compiled programs (the engine
-        clips its index to the last real frame either way)."""
+        clips its index to the last real frame either way).
+
+        `window=L` declares a RING sequence: `array` is one (H, 1, C)
+        column per frame, and the per-frame texture content is the ring of
+        the last L columns, (H, L, C), synthesized on device inside the
+        render scan with the same ring-offset layout the host write path
+        produces (scrolling spectrogram, reference
+        audio/spectrogram.py:320-330, without streaming L columns per
+        frame over the host link)."""
         if array is not None and quantize:
             import jax.numpy as jnp
             frames = int(array.shape[0])
@@ -325,11 +335,13 @@ class ShaderTexture(ShaderModule):
                 pad = jnp.broadcast_to(array[-1:], (target - frames,) + array.shape[1:])
                 array = jnp.concatenate([array, pad], axis=0)
         self.sequence = array
+        self.sequence_window = int(window) if (array is not None and window) else None
         if array is not None:
             height, width = int(array.shape[1]), int(array.shape[2])
             self._components = int(array.shape[3])
             if not self._track:
-                self._width, self._height = width, height
+                self._width = self.sequence_window or width
+                self._height = height
         self.version += 1
         return self
 
