@@ -121,9 +121,9 @@ class RenderEngine:
             (v.name, v.value) for v in scene.full_pipeline()
             if v.static and v.value is not None))
         textures = tuple(
-            (p.name, id(p.fragment), p.texture.resolution, p.texture.temporal,
-             p.texture.layers, p.texture.components, p.texture.filter,
-             p.texture.repeat_x, p.texture.repeat_y)
+            (p.name, id(p.fragment), p.instances, p.texture.resolution,
+             p.texture.temporal, p.texture.layers, p.texture.components,
+             p.texture.filter, p.texture.repeat_x, p.texture.repeat_y)
             for p in programs)
         # Streamed/sequence membership and shapes are NOT in the key: they
         # are jit arguments, so the closure is generic over them — changing

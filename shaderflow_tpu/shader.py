@@ -69,7 +69,16 @@ class Frag:
         self._texture_meta = texture_meta
         self.layer = layer
         self.instance = instance
+        self._discard = None  # (H, W) bool mask set via discard()
         self._camera_cache: dict[str, cameralib.CameraRays] = {}
+
+    def discard(self, mask) -> None:
+        """GLSL `discard` equivalent: pixels where `mask` is true keep the
+        underlying framebuffer content instead of this draw's output (used
+        with instanced rendering so earlier instances show through).
+        Multiple calls OR together."""
+        mask = jnp.asarray(mask)
+        self._discard = mask if self._discard is None else (self._discard | mask)
 
     # -- coordinates --------------------------------------------------------
 
@@ -393,11 +402,26 @@ class ShaderProgram(ShaderModule):
             self.compile()
 
     def render_layer(self, ctx: Frag):
-        """Trace one layer of this program: returns (H, W, C) in sample space."""
-        out = self._resolved(ctx)
-        out = jnp.asarray(out, jnp.float32)
-        components = self.texture.components
-        if out.shape[-1] < components:
-            pad = jnp.ones(out.shape[:-1] + (components - out.shape[-1],), jnp.float32)
-            out = jnp.concatenate([out, pad], axis=-1)
-        return out[..., :components]
+        """Trace one layer of this program: returns (H, W, C) in sample space.
+
+        Instancing (reference shader.py:106 + vertex/default.glsl:5): the
+        pixel program runs `instances` times with ctx.instance = 0..N-1,
+        drawn in order over a cleared framebuffer with GL's no-blending
+        rule — the last instance to write a pixel wins; sf.discard(mask)
+        lets an instance leave pixels to the instances below (instance 0
+        shows the clear color, zeros, where it discards)."""
+        result = None
+        for instance in range(self.instances):
+            ctx.instance = instance
+            ctx._discard = None
+            out = jnp.asarray(self._resolved(ctx), jnp.float32)
+            components = self.texture.components
+            if out.shape[-1] < components:
+                pad = jnp.ones(out.shape[:-1] + (components - out.shape[-1],), jnp.float32)
+                out = jnp.concatenate([out, pad], axis=-1)
+            out = out[..., :components]
+            if ctx._discard is not None:
+                below = jnp.zeros_like(out) if result is None else result
+                out = jnp.where(ctx._discard[..., None], below, out)
+            result = out
+        return result

@@ -90,3 +90,58 @@ def test_missing_fragment_renders():
         assert frames[0, ..., 0].max() > 0
         assert frames[0, ..., 2].max() > 0
         assert frames[0, ..., 1].max() == 0
+
+
+def test_instanced_rendering_last_writer_wins_and_discard():
+    """ShaderProgram.instances: the pixel program runs N times; without
+    discard the last instance overwrites, with discard earlier instances
+    (or the zero clear color) show through."""
+    import numpy as np
+    from shaderflow_tpu import ops
+    from shaderflow_tpu.scene import ShaderScene
+
+    class Instanced(ShaderScene):
+        def build(self):
+            self.shader.instances = 3
+
+            def frag(sf):
+                # Instance i draws a flat color only on column band i
+                u = sf.astuv[..., 0]
+                lo, hi = sf.instance / 4, (sf.instance + 1) / 4
+                sf.discard((u < lo) | (u >= hi))
+                value = (sf.instance + 1) / 10
+                return ops.vec4(value, value, value, 1.0)
+            self.shader.fragment = frag
+
+    scene = Instanced()
+    scene._setup_run(width=8, height=4, fps=10, time=0.1, freewheel=True, subsample=1)
+    scene.engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frame = np.asarray(scene.engine.flush(1))[0]
+
+    # Columns 0-1: instance 0 (0.1); 2-3: instance 1 (0.2); 4-5: instance 2
+    # (0.3); 6-7: everyone discarded -> clear color (0)
+    row = frame[0, :, 0] / 255
+    np.testing.assert_allclose(row[:2], 0.1, atol=0.01)
+    np.testing.assert_allclose(row[2:4], 0.2, atol=0.01)
+    np.testing.assert_allclose(row[4:6], 0.3, atol=0.01)
+    np.testing.assert_allclose(row[6:], 0.0, atol=0.01)
+
+
+def test_instanced_rendering_without_discard_overwrites():
+    import numpy as np
+    from shaderflow_tpu import ops
+    from shaderflow_tpu.scene import ShaderScene
+
+    class Plain(ShaderScene):
+        def build(self):
+            self.shader.instances = 4
+            self.shader.fragment = lambda sf: ops.vec4(
+                (sf.instance + 1) / 10, 0.0, 0.0, 1.0)
+
+    scene = Plain()
+    scene._setup_run(width=8, height=4, fps=10, time=0.1, freewheel=True, subsample=1)
+    scene.engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frame = np.asarray(scene.engine.flush(1))[0]
+    np.testing.assert_allclose(frame[..., 0] / 255, 0.4, atol=0.01)
