@@ -326,7 +326,9 @@ def visualizer_frag(sf):
     # Nearest bin lookup indexed by the radial angle: one-hot MXU matmul
     # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d)
     from shaderflow_tpu.ops.sampling import lookup_nearest_1d
-    freq = jnp.sqrt(lookup_nearest_1d(sf.tex("iSpectrogram"), circle)[..., 0:2] / 1000.0)
+    freq = jnp.asarray(lookup_nearest_1d(
+        sf.tex("iSpectrogram"), circle, precision="bfloat16"), jnp.float32)
+    freq = jnp.sqrt(freq[..., 0:2] / 1000.0)
     freq = freq * (0.05 + 3 * smoothstep(0.0, 2.0, circle))[..., None]
 
     r = length(music_uv)

@@ -206,7 +206,8 @@ def convolve2d(image: Array, kernel: Array) -> Array:
     return out
 
 
-def lookup_nearest_1d(tex: Sampler2D, v_field: Array, mode: str = "onehot") -> Array:
+def lookup_nearest_1d(tex: Sampler2D, v_field: Array, mode: str = "onehot",
+                      precision: str = "float32") -> Array:
     """Per-pixel NEAREST lookup along a texture's v axis (u fixed at the
     first column) for a small table texture — the radial-spectrogram access
     pattern.
@@ -233,9 +234,13 @@ def lookup_nearest_1d(tex: Sampler2D, v_field: Array, mode: str = "onehot") -> A
             acc = acc + jnp.where((rows == b)[..., None], table[b], 0.0)
         return jax.lax.optimization_barrier(acc)
 
+    # precision="bfloat16" also emits the RESULT in bf16 (half the HBM write
+    # traffic of this full-field pass); the rounding is the same 2^-8 order
+    # the bf16 table already accepts. Consumers upcast on first use.
+    out_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     onehot = (rows[..., None] == jnp.arange(bins)).astype(jnp.bfloat16)
     return jnp.einsum("...b,bc->...c", onehot, table.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=out_dtype)
 
 
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:

@@ -501,6 +501,7 @@ class ShaderScene(ShaderModule):
                 import cv2
                 preview = cv2
                 cv2.namedWindow(self.title, cv2.WINDOW_NORMAL)
+                cv2.setMouseCallback(self.title, self._cv2_mouse_event)
             except Exception:
                 preview = None
 
@@ -540,6 +541,43 @@ class ShaderScene(ShaderModule):
                 self.relay(ShaderMessage.Keyboard.KeyDown(key=key))
         else:
             np.asarray(frames)  # realize the computation for honest pacing
+
+    def _pixel_to_gluv(self, x: int, y: int) -> tuple[float, float]:
+        """Window pixel -> gluv: x in [-aspect, aspect], y in [-1, 1], v up
+        (reference scene.py pixel-to-uv conversions)."""
+        width, height = self.resolution
+        u = (2.0 * ((x + 0.5) / max(1, width)) - 1.0) * self.aspect_ratio
+        v = 1.0 - 2.0 * ((y + 0.5) / max(1, height))
+        return (u, v)
+
+    def _cv2_mouse_event(self, event: int, x: int, y: int, flags: int,
+                         param=None) -> None:
+        """cv2 preview mouse callback -> message-bus relay (the headless
+        stand-in for the reference's glfw mouse events; feeds the camera's
+        Drag/Scroll navigation and the iMouse* uniforms)."""
+        cv2 = getattr(self, "_preview", None)
+        if cv2 is None:
+            return
+        u, v = self._pixel_to_gluv(x, y)
+        du, dv = u - self.mouse_gluv[0], v - self.mouse_gluv[1]
+        Mouse = ShaderMessage.Mouse
+        self.mouse_inside = True
+        buttons = {cv2.EVENT_LBUTTONDOWN: (1, True), cv2.EVENT_LBUTTONUP: (1, False),
+                   cv2.EVENT_RBUTTONDOWN: (2, True), cv2.EVENT_RBUTTONUP: (2, False),
+                   cv2.EVENT_MBUTTONDOWN: (3, True), cv2.EVENT_MBUTTONUP: (3, False)}
+        if event in buttons:
+            button, state = buttons[event]
+            self.mouse_buttons[button] = state
+            cls = Mouse.Press if state else Mouse.Release
+            self.relay(cls(button=button, x=x, y=y, u=u, v=v))
+        elif event == cv2.EVENT_MOUSEMOVE:
+            if self.mouse_buttons.get(1) or self.mouse_buttons.get(2):
+                self.relay(Mouse.Drag(x=x, y=y, u=u, v=v, du=du, dv=dv))
+            else:
+                self.relay(Mouse.Position(x=x, y=y, u=u, v=v, du=du, dv=dv))
+        elif event == getattr(cv2, "EVENT_MOUSEWHEEL", -1):
+            step = 1.0 if flags > 0 else -1.0
+            self.relay(Mouse.Scroll(dy=int(step), dv=step / 10))
 
     def _draw_hud(self, frame: np.ndarray) -> np.ndarray:
         """Minimal stats overlay for the realtime preview (TAB toggles) —

@@ -197,3 +197,41 @@ def test_realtime_loop_frame_limited():
     scene.main(width=32, height=16, fps=240, output=None, freewheel=False)
     assert scene.quit
     assert scene.frame >= 3
+
+
+def test_cv2_mouse_events_update_state_and_relay():
+    """The cv2 preview mouse callback feeds the message bus: position moves
+    iMouse, left-drag relays Mouse.Drag (camera nav), buttons track state."""
+    import cv2
+    from shaderflow_tpu.scene import ShaderScene
+
+    scene = ShaderScene()
+    scene.initialize()
+    scene.resize(width=100, height=50)
+    scene._preview = cv2
+
+    received = []
+    original = scene.relay
+    scene.relay = lambda message: (received.append(message), original(message))
+
+    # Move to the center-right edge: u ~ +aspect, v ~ 0
+    scene._cv2_mouse_event(cv2.EVENT_MOUSEMOVE, 99, 25, 0)
+    assert scene.mouse_inside
+    assert type(received[-1]).__name__ == "Position"
+    u, v = scene.mouse_gluv
+    assert u > 1.9 and abs(v) < 0.05  # aspect = 2.0
+
+    # Press left, drag -> Drag message and button state
+    scene._cv2_mouse_event(cv2.EVENT_LBUTTONDOWN, 99, 25, 0)
+    assert scene.mouse_buttons[1]
+    scene._cv2_mouse_event(cv2.EVENT_MOUSEMOVE, 50, 25, 0)
+    assert type(received[-1]).__name__ == "Drag"
+    scene._cv2_mouse_event(cv2.EVENT_LBUTTONUP, 99, 25, 0)
+    assert not scene.mouse_buttons[1]
+
+    # Scroll wheel relays Scroll with signed dv
+    wheel = getattr(cv2, "EVENT_MOUSEWHEEL", None)
+    if wheel is not None:
+        scene._cv2_mouse_event(wheel, 50, 25, 1 << 16)
+        assert type(received[-1]).__name__ == "Scroll"
+        assert received[-1].dv > 0
