@@ -542,6 +542,34 @@ class ShaderScene(ShaderModule):
         else:
             np.asarray(frames)  # realize the computation for honest pacing
 
+    _mouse_drag_time_factor: float = 4.0
+    """Seconds scrubbed when an Alt+drag travels the full window height."""
+
+    def _handle_drag(self, *, x: int, y: int, dx: int, dy: int,
+                     u: float, v: float, du: float, dv: float) -> None:
+        """Mouse-drag dispatch with the reference's modifier intercepts
+        (scene.py:815-841): Ctrl+drag rolls the camera around its forward
+        axis, exclusive mode free-looks (zoom + roll), Alt+drag scrubs
+        time; otherwise the Drag message relays to every module."""
+        import math as _math
+        width, height = self.resolution
+        if self.keyboard(ShaderKeyboard.Keys.LEFT_CTRL):
+            cx, cy = (x - width / 2), (y - height / 2)
+            angle = _math.atan2(cy + dy, cx + dx) - _math.atan2(cy, cx)
+            if abs(angle) > _math.pi:
+                angle -= 2 * _math.pi
+            self.camera.rotate(self.camera.forward, degrees=_math.degrees(angle))
+            return
+        if self.exclusive:
+            self.camera.apply_zoom(dy / 500)
+            self.camera.rotate(self.camera.forward, degrees=-dx / 10)
+            return
+        if self.keyboard(ShaderKeyboard.Keys.LEFT_ALT):
+            self.time -= self._mouse_drag_time_factor * (dy / max(1, height))
+            return
+        self.relay(ShaderMessage.Mouse.Drag(x=x, y=y, dx=dx, dy=dy,
+                                            u=u, v=v, du=du, dv=dv))
+
     def _pixel_to_gluv(self, x: int, y: int) -> tuple[float, float]:
         """Window pixel -> gluv: x in [-aspect, aspect], y in [-1, 1], v up
         (reference scene.py pixel-to-uv conversions)."""
@@ -572,7 +600,9 @@ class ShaderScene(ShaderModule):
             self.relay(cls(button=button, x=x, y=y, u=u, v=v))
         elif event == cv2.EVENT_MOUSEMOVE:
             if self.mouse_buttons.get(1) or self.mouse_buttons.get(2):
-                self.relay(Mouse.Drag(x=x, y=y, u=u, v=v, du=du, dv=dv))
+                dx = int(round((du / 2 / max(1e-9, self.aspect_ratio)) * self.resolution[0]))
+                dy = int(round((-dv / 2) * self.resolution[1]))
+                self._handle_drag(x=x, y=y, dx=dx, dy=dy, u=u, v=v, du=du, dv=dv)
             else:
                 self.relay(Mouse.Position(x=x, y=y, u=u, v=v, du=du, dv=dv))
         elif event == getattr(cv2, "EVENT_MOUSEWHEEL", -1):
@@ -622,6 +652,27 @@ class ShaderScene(ShaderModule):
                 self.relay(ShaderMessage.Shader.Compile)
             elif message.key == ShaderKeyboard.Keys.TAB:
                 self.render_ui = not self.render_ui
+            elif message.key == ShaderKeyboard.Keys.F1:
+                logger.info("(F1 ) Toggling exclusive mode")
+                self.exclusive = not self.exclusive
+            elif message.key == ShaderKeyboard.Keys.F2:
+                from datetime import datetime
+                import shaderflow_tpu
+                from PIL import Image
+                stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+                path = (shaderflow_tpu.directories.ensure().user_data_path
+                        / "screenshots" / f"({stamp}) {self.name}.png")
+                path.parent.mkdir(parents=True, exist_ok=True)
+                logger.info(f"(F2 ) Saving screenshot to ({path})")
+                Image.fromarray(self.screenshot()).save(path)
+            elif message.key == ShaderKeyboard.Keys.F11:
+                logger.info("(F11) Toggling fullscreen")
+                self.fullscreen = not self.fullscreen
+                if getattr(self, "_preview", None) is not None:
+                    cv2 = self._preview
+                    cv2.setWindowProperty(
+                        self.title, cv2.WND_PROP_FULLSCREEN,
+                        cv2.WINDOW_FULLSCREEN if self.fullscreen else cv2.WINDOW_NORMAL)
 
         elif isinstance(message, (ShaderMessage.Mouse.Drag, ShaderMessage.Mouse.Position)):
             self.mouse_gluv = (message.u, message.v)

@@ -235,3 +235,60 @@ def test_cv2_mouse_events_update_state_and_relay():
         scene._cv2_mouse_event(wheel, 50, 25, 1 << 16)
         assert type(received[-1]).__name__ == "Scroll"
         assert received[-1].dv > 0
+
+
+def test_fkey_bindings(tmp_path, monkeypatch):
+    """F1 toggles exclusive mode, F2 saves a screenshot PNG, F11 flips the
+    fullscreen flag (reference scene.py:666-682 keybinds)."""
+    import shaderflow_tpu
+    from shaderflow_tpu.keyboard import ShaderKeyboard
+    from shaderflow_tpu.message import ShaderMessage
+    from shaderflow_tpu.scene import ShaderScene
+
+    monkeypatch.setattr(shaderflow_tpu.directories, "user_data_path", tmp_path)
+    scene = ShaderScene()
+    scene._setup_run(width=16, height=8, fps=10, time=0.1, freewheel=True)
+
+    assert not scene.exclusive
+    scene.relay(ShaderMessage.Keyboard.KeyDown(key=ShaderKeyboard.Keys.F1))
+    assert scene.exclusive
+
+    scene.relay(ShaderMessage.Keyboard.KeyDown(key=ShaderKeyboard.Keys.F2))
+    shots = list((tmp_path / "screenshots").glob("*.png"))
+    assert len(shots) == 1
+
+    scene.relay(ShaderMessage.Keyboard.KeyDown(key=ShaderKeyboard.Keys.F11))
+    assert scene.fullscreen
+
+
+def test_modifier_drags(monkeypatch):
+    """Ctrl+drag rolls the camera, Alt+drag scrubs time, plain drag relays
+    Mouse.Drag (reference scene.py:815-841)."""
+    import numpy as np
+    from shaderflow_tpu.keyboard import ShaderKeyboard
+    from shaderflow_tpu.scene import ShaderScene
+
+    scene = ShaderScene()
+    scene.initialize()
+    scene.resize(width=100, height=50)
+    scene.time = 5.0
+
+    # Alt+drag: time travel, no Drag relay
+    scene.keyboard._pressed[ShaderKeyboard.Keys.LEFT_ALT] = True
+    scene._handle_drag(x=50, y=25, dx=0, dy=25, u=0, v=0, du=0, dv=-1.0)
+    assert scene.time < 5.0
+    scene.keyboard._pressed[ShaderKeyboard.Keys.LEFT_ALT] = False
+
+    # Ctrl+drag: camera rolls around forward (rotation quaternion changes)
+    before = np.array(scene.camera.rotation.target, copy=True)
+    scene.keyboard._pressed[ShaderKeyboard.Keys.LEFT_CTRL] = True
+    scene._handle_drag(x=80, y=25, dx=0, dy=10, u=0.6, v=0, du=0, dv=-0.4)
+    assert not np.allclose(np.array(scene.camera.rotation.target), before)
+    scene.keyboard._pressed[ShaderKeyboard.Keys.LEFT_CTRL] = False
+
+    # Plain drag relays
+    seen = []
+    original = scene.relay
+    scene.relay = lambda m: (seen.append(m), original(m))
+    scene._handle_drag(x=50, y=25, dx=5, dy=0, u=0.1, v=0, du=0.1, dv=0)
+    assert type(seen[-1]).__name__ == "Drag"
