@@ -57,3 +57,33 @@ def test_final_pass_u8():
     assert out.shape == (4, 4, 3)
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out, np.full((4, 4, 3), 128))
+
+
+def test_equal_resolution_stencil_matches_general_taps():
+    """The equal-res fast path (separable 3-tap stencil) must equal the
+    general subsample^2 bilinear-tap average it replaces."""
+    import numpy as np
+    import jax.numpy as jnp
+    from shaderflow_tpu.ops.downsample import ssaa_downsample
+    from shaderflow_tpu.ops.sampling import Sampler2D, sample_separable
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 32
+    image = jnp.asarray(rng.random((h, w, 3), np.float32))
+
+    for subsample in (2, 3):
+        got = ssaa_downsample(image, h, w, subsample=subsample)
+
+        tex = Sampler2D(image, linear=True, repeat_x=False, repeat_y=False)
+        u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        v = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        acc = jnp.zeros((h, w, 3), jnp.float32)
+        for x in range(subsample):
+            for y in range(subsample):
+                du = -1.0 / w / 2 + (1.0 / w / subsample) * (0.5 + x)
+                dv = -1.0 / h / 2 + (1.0 / h / subsample) * (0.5 + y)
+                acc = acc + sample_separable(tex, u + du, v + dv)
+        expected = acc / (subsample * subsample)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=2e-6, err_msg=f"subsample={subsample}")
