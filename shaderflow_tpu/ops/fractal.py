@@ -47,11 +47,13 @@ def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
 
 def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                    max_iter: int, radius: float,
-                   tile: tuple[int, int] = (256, 256)) -> Array:
+                   tile: tuple[int, int] = (256, 256),
+                   unroll: int = 8) -> Array:
     r2 = radius * radius
     height, width = zx0.shape
     th = min(tile[0], height)
     tw = min(tile[1], width)
+    unroll = max(1, int(unroll))
 
     def kernel(zx_ref, zy_ref, cx_ref, cy_ref, out_ref):
         zx_t = zx_ref[:]
@@ -59,22 +61,30 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
         cx_t = cx_ref[:]
         cy_t = cy_ref[:]
 
-        # Masks carried as f32 (Mosaic cannot carry i1 vectors in while)
+        # Masks carried as f32 (Mosaic cannot carry i1 vectors in while).
+        # The early-exit check is a cross-vector max reduction — running it
+        # every iteration costs more than a handful of wasted masked steps,
+        # so the body advances `unroll` iterations per check, each step
+        # gated on k+i < max_iter so total work stays bit-identical to the
+        # one-step-per-check form (and to the masked fori fallback).
         def cond(state):
             k, _, _, _, active = state
             return (k < max_iter) & (jnp.max(active) > 0.0)
 
         def body(state):
             k, zx, zy, iters, active = state
-            nx = zx * zx - zy * zy + cx_t
-            ny = 2.0 * zx * zy + cy_t
-            live = active > 0.5
-            # select, not a*(n-z) arithmetic: bit-exact parity with the
-            # masked fori_loop fallback (a + (n-a) reassociates)
-            zx = jnp.where(live, nx, zx)
-            zy = jnp.where(live, ny, zy)
-            inside = jnp.where(zx * zx + zy * zy > r2, 0.0, 1.0)
-            return k + 1, zx, zy, iters + active, active * inside
+            for i in range(unroll):
+                nx = zx * zx - zy * zy + cx_t
+                ny = 2.0 * zx * zy + cy_t
+                live = (active > 0.5) & (k + i < max_iter)
+                # select, not a*(n-z) arithmetic: bit-exact parity with the
+                # masked fori_loop fallback (a + (n-a) reassociates)
+                zx = jnp.where(live, nx, zx)
+                zy = jnp.where(live, ny, zy)
+                iters = iters + jnp.where(live, 1.0, 0.0)
+                inside = jnp.where(zx * zx + zy * zy > r2, 0.0, 1.0)
+                active = jnp.where(live, active * inside, active)
+            return k + unroll, zx, zy, iters, active
 
         active0 = jnp.where(zx_t * zx_t + zy_t * zy_t > r2, 0.0, 1.0)
         iters0 = jnp.zeros_like(zx_t)
@@ -130,6 +140,12 @@ def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0) 
     if jax.default_backend() in ("tpu", "axon") and _pallas_supported():
         import os
         tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "128x256")  # A/B winner on v5e
+        # A/B on v5e @1080p60 2xSSAA q=50: unroll 1 -> 39.6fps, 8 -> 71.6,
+        # 16 -> 73.2, 32 -> 74.7 (the per-iteration cross-vector max in the
+        # early-exit cond dominated); 16 balances the win against wasted
+        # masked steps at low quality/max_iter
+        unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
         th, tw = (int(x) for x in tile.split("x"))
-        return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius), tile=(th, tw))
+        return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius),
+                              tile=(th, tw), unroll=unroll)
     return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius))
