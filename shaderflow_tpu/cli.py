@@ -47,11 +47,15 @@ def _add_main_flags(parser: argparse.ArgumentParser) -> None:
             group.add_argument(*args, dest=name, action="store_true", default=default)
             group.add_argument(f"--no-{name}", dest=name, action="store_false")
             continue
+        candidates = (annotation,) if origin is None else typing.get_args(annotation)
         kind = str
-        for candidate in ((annotation,) if origin is None else typing.get_args(annotation)):
-            if candidate in (int, float):
-                kind = candidate
-                break
+        # Union[float, str] params (ratio '16:9', time 'MM:SS') must stay
+        # strings: the scene's own parsers handle the rich forms.
+        if str not in candidates:
+            for candidate in candidates:
+                if candidate in (int, float):
+                    kind = candidate
+                    break
         parser.add_argument(*args, dest=name, type=kind, default=default)
 
 

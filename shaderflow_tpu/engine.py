@@ -212,8 +212,12 @@ class RenderEngine:
         # After a program's temporal roll the just-rendered frame sits at
         # slot 1 (slot 0 recycles the oldest box); the final pass must read
         # the newest content, not the stale slot 0 the reference's naming
-        # would suggest for temporal > 1
+        # would suggest for temporal > 1. SHADERFLOW_REF_SLOT0=1 restores the
+        # reference's literal behavior (displays the stale slot) for PSNR
+        # parity checks on temporal-feedback scenes.
         main_slot = 1 if scene.shader.texture.temporal > 1 else 0
+        if os.environ.get("SHADERFLOW_REF_SLOT0") == "1":
+            main_slot = 0
         statics = dict(self._statics)
         program_list = list(programs)
         meta_snapshot = dict(meta)
@@ -424,20 +428,34 @@ class RenderEngine:
         if pad:
             frames = frames + [frames[-1]] * pad
 
-        names = sorted(frames[0].keys())
+        # Union of names across the whole batch: a uniform first yielded
+        # mid-batch (a module activating after frame 0) must not be dropped,
+        # and one disappearing mid-batch must not KeyError. Missing values
+        # fill from the nearest frame that has them (backward, then forward).
+        names = sorted(set().union(*(frame.keys() for frame in frames)))
+        first_value = {}
+        for frame in frames:
+            for name, value in frame.items():
+                first_value.setdefault(name, value)
         spec = []
         offset = 0
         for name in names:
-            value = np.asarray(frames[0][name])
+            value = np.asarray(first_value[name])
             size = int(value.size)
             shape = value.shape if value.ndim else ()
             spec.append((name, offset, size, self._uniform_kinds.get(name, "f"), shape))
             offset += size
         packed = np.empty((len(frames), offset), np.float32)
+        last = dict(first_value)
         for row, frame in enumerate(frames):
             position = 0
             for name in names:
-                value = np.asarray(frame[name], np.float32).reshape(-1)
+                raw = frame.get(name)
+                if raw is None:
+                    raw = last[name]
+                else:
+                    last[name] = raw
+                value = np.asarray(raw, np.float32).reshape(-1)
                 packed[row, position:position + value.size] = value
                 position += value.size
 
@@ -502,7 +520,7 @@ class RenderEngine:
             def step(carry, packed, streams, statics, sequences):
                 return render(carry, packed, streams, statics, sequences, spec)
 
-            self._sharded_cache = {key: shard_frame_renderer(step, self.mesh)}
+            self._sharded_cache[key] = shard_frame_renderer(step, self.mesh)
         return self._sharded_cache[key]
 
     # ------------------------------------------------------------------ #

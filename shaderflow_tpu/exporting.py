@@ -155,9 +155,23 @@ class ExportingHelper:
         path = Path(output).expanduser().absolute()
         suffix = path.suffix.lower()
 
+        # CV2Sink/RawSink receive the piped frames verbatim (no encoder-side
+        # rescale exists): size them from the actual frame size. In raw or
+        # ssaa<1 exports scene.resolution is the render resolution, not the
+        # requested output size — FFmpegSink handles that via a scale filter,
+        # these sinks cannot.
+        pipe_w, pipe_h = scene.width, scene.height
+
+        def warn_no_rescale():
+            if (pipe_w, pipe_h) != (width, height):
+                logger.warn(
+                    f"Output rescale {pipe_w}x{pipe_h} -> {width}x{height} needs "
+                    f"an ffmpeg binary; writing {pipe_w}x{pipe_h} frames as-is")
+
         if suffix in (".rgb", ".raw"):
+            warn_no_rescale()
             self.type = OutputType.PATH
-            self.sink = RawSink(path, width, height, scene.fps)
+            self.sink = RawSink(path, pipe_w, pipe_h, scene.fps)
         elif suffix in ("", ".png") or path.is_dir():
             self.type = OutputType.PATH
             self.sink = ImageSink(path if suffix == "" else path.parent)
@@ -172,8 +186,9 @@ class ExportingHelper:
         else:
             logger.warn(f"No ffmpeg binary: encoding {path.name} with OpenCV "
                         f"(audio, if any, becomes a sidecar .wav)")
+            warn_no_rescale()
             self.type = OutputType.PATH
-            self.sink = CV2Sink(path, width, height, scene.fps)
+            self.sink = CV2Sink(path, pipe_w, pipe_h, scene.fps)
             self._write_sidecar_audio(path)
         return self.sink
 

@@ -12,7 +12,8 @@ the exporter targets a VideoSink interface with several implementations:
   PipeSink    - encoded bytes returned in memory (FFmpeg pipe output)
   NullSink    - swallow frames (pure render/transfer benchmarking)
 
-select_sink() picks the best implementation for an output target.
+ExportingHelper.make_sink() picks the best implementation for an output
+target (exporting.py).
 """
 
 from __future__ import annotations
@@ -66,8 +67,8 @@ class FFmpegSink(VideoSink):
                  pipe_output: bool = False):
         self.ffmpeg = ffmpeg
         self.pipe_output = pipe_output
-        self.stdout = TemporaryFile(mode="+b") if pipe_output else None
-        self.stderr = TemporaryFile(mode="+b")
+        self.stdout = TemporaryFile(mode="w+b") if pipe_output else None
+        self.stderr = TemporaryFile(mode="w+b")
         self.process = ffmpeg.popen(stdin=PIPE, stdout=self.stdout or None, stderr=self.stderr)
         self.pump: Optional[FramePump] = None
         if turbo:
@@ -114,11 +115,17 @@ class CV2Sink(VideoSink):
         self.path.parent.mkdir(parents=True, exist_ok=True)
         fourcc = cv2.VideoWriter_fourcc(*("mp4v" if self.path.suffix in (".mp4", ".m4v")
                                           else "MJPG"))
+        self.size = (height, width)
         self.writer = cv2.VideoWriter(str(self.path), fourcc, fps, (width, height))
         if not self.writer.isOpened():
             raise RuntimeError(f"cv2.VideoWriter could not open {self.path}")
 
     def write_batch(self, frames: np.ndarray) -> None:
+        # cv2.VideoWriter silently drops mismatched frames (empty video);
+        # fail loudly instead.
+        if tuple(frames.shape[1:3]) != self.size:
+            raise ValueError(
+                f"CV2Sink opened for {self.size} frames, got {frames.shape[1:3]}")
         for frame in frames:
             self.writer.write(self._cv2.cvtColor(frame, self._cv2.COLOR_RGB2BGR))
 
@@ -152,6 +159,10 @@ class RawSink(VideoSink):
         self.meta = dict(width=width, height=height, fps=fps, format="rgb24", frames=0)
 
     def write_batch(self, frames: np.ndarray) -> None:
+        expect = (self.meta["height"], self.meta["width"])
+        if tuple(frames.shape[1:3]) != expect:
+            raise ValueError(
+                f"RawSink opened for {expect} frames, got {frames.shape[1:3]}")
         self.handle.write(np.ascontiguousarray(frames).tobytes())
         self.meta["frames"] += int(frames.shape[0])
 

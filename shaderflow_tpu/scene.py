@@ -41,6 +41,41 @@ from shaderflow_tpu.shader import ShaderProgram
 from shaderflow_tpu.variable import ShaderVariable, Uniform
 
 
+def _parse_ratio(value: str) -> Optional[float]:
+    """Parse '16:9', '16/9', '1.777' or 'none' without eval() (the reference
+    evals these CLI strings — arbitrary code execution from flag values)."""
+    text = value.strip().lower()
+    if text in ("", "none", "null"):
+        return None
+    for sep in (":", "/"):
+        if sep in text:
+            num, _, den = text.partition(sep)
+            return float(num) / float(den)
+    return float(text)
+
+
+def _parse_duration(value: str) -> Optional[float]:
+    """Parse a duration: plain seconds, 'MM:SS'/'HH:MM:SS', or a simple
+    product/quotient like '30*60' (no general expression eval)."""
+    text = value.strip().lower().removesuffix("s")
+    if not text or text in ("none", "null"):
+        return None
+    if ":" in text:
+        total = 0.0
+        for part in text.split(":"):
+            total = total * 60.0 + float(part)
+        return total
+    if "*" in text:
+        result = 1.0
+        for factor in text.split("*"):
+            result *= float(factor)
+        return result
+    if "/" in text:
+        num, _, den = text.partition("/")
+        return float(num) / float(den)
+    return float(text)
+
+
 class WindowBackend(Enum):
     Headless = "headless"
     Preview = "preview"   # cv2-based live preview when a display exists
@@ -234,7 +269,7 @@ class ShaderScene(ShaderModule):
     @aspect_ratio.setter
     def aspect_ratio(self, value: Optional[Union[float, str]]) -> None:
         if isinstance(value, str):
-            value = eval(value.replace(":", "/").capitalize())
+            value = _parse_ratio(value)
         if self._aspect_ratio == value:
             return
         self._aspect_ratio = value
@@ -300,9 +335,11 @@ class ShaderScene(ShaderModule):
     def screenshot(self) -> np.ndarray:
         """Render the current frame once; (H, W, 3) uint8."""
         self.engine.begin_batch()
-        saved = (self.time, self.dt, self.rdt)
+        # _frame_counter must be restored too: device-resident sequence
+        # textures index by iFrameIndex and would skip a column otherwise.
+        saved = (self.time, self.dt, self.rdt, self._frame_counter)
         self.next(dt=0.0)
-        self.time, self.dt, self.rdt = saved
+        self.time, self.dt, self.rdt, self._frame_counter = saved
         frames = self.engine.flush(1)
         return np.asarray(frames[0])
 
@@ -323,7 +360,7 @@ class ShaderScene(ShaderModule):
         ssaa: float = 1.0,
         subsample: int = 2,
         output: Optional[Union[Path, str]] = None,
-        time: Optional[float] = None,
+        time: Optional[Union[float, str]] = None,
         speed: float = 1.0,
         freewheel: bool = False,
         raw: bool = False,
@@ -394,7 +431,7 @@ class ShaderScene(ShaderModule):
         for module in self.modules:
             module.setup()
 
-        self.set_duration(eval(time) if isinstance(time, str) else time)
+        self.set_duration(_parse_duration(time) if isinstance(time, str) else time)
 
         # Raw mode (or downscale SSAA): export native render-resolution
         # frames and skip the device downsample (scene.py:591-594 behavior:

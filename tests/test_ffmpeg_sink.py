@@ -1,0 +1,136 @@
+"""FFmpegSink lifecycle against a stub ffmpeg executable.
+
+This environment ships no ffmpeg binary, so the real subprocess path
+(spawn, pump writes, crash detection with stderr replay, finish — the
+reference architecture, /root/reference/shaderflow/exporting.py:130-171)
+would otherwise never execute. A tiny stdin-draining stub stands in for
+the binary so the whole path runs end-to-end in CI.
+"""
+
+import os
+import stat
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from shaderflow_tpu import ops
+from shaderflow_tpu.io.ffmpeg import FFmpeg
+from shaderflow_tpu.io.sinks import FFmpegSink
+from shaderflow_tpu.scene import ShaderScene
+
+STUB = r'''#!/usr/bin/env python3
+"""Stub ffmpeg: drains stdin, records the byte count to the output target."""
+import os, sys
+
+if os.environ.get("STUB_FFMPEG_CRASH"):
+    sys.stderr.write("stub ffmpeg: simulated encoder crash\n")
+    sys.exit(13)
+
+out = sys.argv[-1]
+data = sys.stdin.buffer.read()
+payload = b"STUB" + len(data).to_bytes(8, "little")
+if out == "-":
+    sys.stdout.buffer.write(payload)
+else:
+    with open(out, "wb") as handle:
+        handle.write(payload)
+sys.stderr.write(f"stub ffmpeg consumed {len(data)} bytes\n")
+'''
+
+
+@pytest.fixture
+def stub_ffmpeg(tmp_path, monkeypatch):
+    """Put a fake `ffmpeg` on PATH and reset the binary caches."""
+    script = tmp_path / "bin" / "ffmpeg"
+    script.parent.mkdir()
+    script.write_text(STUB)
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{script.parent}{os.pathsep}{os.environ['PATH']}")
+    FFmpeg.binary.cache_clear()
+    FFmpeg.ffprobe.cache_clear()
+    yield script
+    FFmpeg.binary.cache_clear()
+    FFmpeg.ffprobe.cache_clear()
+
+
+def frames_like(count=4, h=16, w=32, seed=0):
+    return np.random.default_rng(seed).integers(0, 255, (count, h, w, 3), np.uint8)
+
+
+def read_stub_count(path: Path) -> int:
+    blob = path.read_bytes()
+    assert blob[:4] == b"STUB"
+    return int.from_bytes(blob[4:12], "little")
+
+
+def make_ffmpeg(out_path) -> FFmpeg:
+    ff = FFmpeg()
+    ff.pipe_input(pixel_format="rgb24", width=32, height=16, framerate=10)
+    ff.output(path=out_path)
+    ff.h264(preset="fast", crf=20)
+    return ff
+
+
+@pytest.mark.parametrize("turbo", [True, False])
+def test_sink_lifecycle(stub_ffmpeg, tmp_path, turbo):
+    """Spawn, (pump|blocking) writes, finish: every frame byte reaches the
+    subprocess and finish() returns the output path."""
+    assert FFmpeg.available()
+    out = tmp_path / "out.mp4"
+    frames = frames_like(6)
+    sink = FFmpegSink(make_ffmpeg(out), frame_bytes=frames[0].nbytes, turbo=turbo)
+    sink.write_batch(frames[:3])
+    sink.write_batch(frames[3:])
+    result = sink.finish()
+    assert result == out
+    assert read_stub_count(out) == frames.nbytes
+
+
+def test_sink_pipe_output(stub_ffmpeg, tmp_path):
+    """pipe_output=True returns the encoded bytes from the stub's stdout."""
+    ff = FFmpeg()
+    ff.pipe_input(pixel_format="rgb24", width=32, height=16, framerate=10)
+    ff.pipe_output(format="matroska")
+    ff.h264()
+    frames = frames_like(2)
+    sink = FFmpegSink(ff, frame_bytes=frames[0].nbytes, turbo=False, pipe_output=True)
+    sink.write_batch(frames)
+    blob = sink.finish()
+    assert blob[:4] == b"STUB"
+    assert int.from_bytes(blob[4:12], "little") == frames.nbytes
+
+
+def test_sink_crash_detection(stub_ffmpeg, tmp_path, monkeypatch):
+    """A dead encoder is detected on the next write and its stderr is
+    replayed in the raised error (reference exporting.py:152-159)."""
+    monkeypatch.setenv("STUB_FFMPEG_CRASH", "1")
+    out = tmp_path / "out.mp4"
+    sink = FFmpegSink(make_ffmpeg(out), frame_bytes=16 * 32 * 3, turbo=False)
+    deadline = time.monotonic() + 10
+    while sink.process.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert sink.process.poll() == 13
+    with pytest.raises(RuntimeError, match="simulated encoder crash"):
+        sink.write_batch(frames_like(1))
+
+
+class Ramp(ShaderScene):
+    def build(self):
+        import jax.numpy as jnp
+        self.shader.fragment = lambda sf: ops.vec4(
+            sf.astuv[..., 0],
+            jnp.broadcast_to(ops.fract(sf.iTime), sf.astuv.shape[:-1]),
+            0.5, 1.0)
+
+
+def test_scene_export_through_ffmpeg_sink(stub_ffmpeg, tmp_path):
+    """Full export: scene.main(output=x.mp4) routes through make_sink ->
+    FFmpegSink -> pump -> stub encoder; all rendered bytes arrive."""
+    out = tmp_path / "video.mp4"
+    scene = Ramp()
+    result = scene.main(width=32, height=16, fps=10, time=0.5, output=str(out))
+    assert Path(result) == out
+    assert read_stub_count(out) == 5 * 16 * 32 * 3
