@@ -268,7 +268,9 @@ def visualizer_frag(sf):
     sample commute) followed by a single separable sample. Same math, ~80x
     fewer texture reads.
     """
-    from shaderflow_tpu.ops.sampling import Sampler2D, convolve2d, sample_separable, splat_kernel
+    from shaderflow_tpu.ops.sampling import (
+        Sampler2D, convolve2d, sample_separable, sample_separable_planes,
+        splat_kernel)
 
     cam = sf.camera
     uv = cam.gluv
@@ -286,7 +288,8 @@ def visualizer_frag(sf):
     aspect_scale = tex.height / tex.width
     u_line = ((2.0 * qx - 1.0) * aspect_scale + 1.0) / 2.0
     v_line = qy
-    color = sample_separable(tex, u_line, v_line, precision="bfloat16")
+    base_planes = sample_separable_planes(tex, u_line, v_line,
+                                          precision="bfloat16")[:3]
 
     # Radial blur (8 directions x 10 walks) as one texture-space kernel,
     # computed on a half-resolution pyramid level (the taps feed a blur —
@@ -310,59 +313,108 @@ def visualizer_frag(sf):
     kernel = splat_kernel(offsets, size=5)
     blurred = convolve2d(quarter, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
-    color = (color + sample_separable(blur_tex, u_line, v_line, precision="bfloat16")) \
-        / (quality * directions)
+    blur_planes = sample_separable_planes(blur_tex, u_line, v_line,
+                                          precision="bfloat16")[:3]
+    inv = 1.0 / (quality * directions)
+    color_planes = tuple(
+        ((base.astype(jnp.float32) + blur.astype(jnp.float32)) * inv
+         ).astype(jnp.bfloat16)
+        for base, blur in zip(base_planes, blur_planes))
 
-    # Blink on snare/kick
-    color = color * (1 + 5 * sf.iAudioSTD
-                     * jnp.power(clamp(length(sf.agluv) - 0.3, 0.0, 1.0), 6.0)[..., None])
-
-    # Music bars coordinates
+    # Music bar geometry the MXU lookup needs at full field (the rest of the
+    # bar math re-derives per tile inside the fused tail kernel below)
     music_uv = rotate2d(uv, -PI / 2)
     music_uv = music_uv * (1 - 0.4 * jnp.power(jnp.abs(sf.iAudioVolume), 0.5))
-    radius = 0.17
-
     circle = jnp.abs(ops.atan1n(music_uv))
-    # Nearest bin lookup indexed by the radial angle: one-hot MXU matmul
-    # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d)
-    from shaderflow_tpu.ops.sampling import lookup_nearest_1d
-    freq = jnp.asarray(lookup_nearest_1d(
-        sf.tex("iSpectrogram"), circle, precision="bfloat16"), jnp.float32)
-    freq = jnp.sqrt(freq[..., 0:2] / 1000.0)
-    freq = freq * (0.05 + 3 * smoothstep(0.0, 2.0, circle))[..., None]
-
-    r = length(music_uv)
-    bar = jnp.where(music_uv[..., 1] < 0, freq[..., 0], freq[..., 1])
-    ring = radius + 0.5 * bar
-    rgb = color[..., 0:3]
-    inside = (r < radius)[..., None]
-    on_bar = (r < ring)[..., None]
-    rgb = jnp.where(
-        inside, rgb * 0.5,
-        jnp.where(
-            on_bar,
-            mix(rgb, jnp.ones(3), smoothstep(0.0, 1.0, 0.5 + bar)[..., None]),
-            rgb * jnp.power(jnp.maximum((r - ring) * 0.5, 1e-6), 0.05)[..., None]))
-
-    rgb = mix(rgb, space, smoothstep(0.0, 1.0, length(uv) / 20.0)[..., None])
-
-    # Vignette
-    vig = sf.astuv * (1.0 - sf.astuv[..., ::-1])
-    rgb = rgb * jnp.power(jnp.maximum(vig[..., 0] * vig[..., 1] * 20.0, 1e-6),
-                          0.1 + 0.15 * sf.iAudioVolume)[..., None]
-
-    # Out of bounds -> deep space color
-    rgb = jnp.where(cam.out_of_bounds[..., None], space, rgb)
-    color = vec4(rgb, 1.0)
+    # Nearest bin lookup indexed by the radial angle, channel chosen by the
+    # bar's half-plane — one two-level MXU lookup for the whole bar field
+    # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d_select)
+    from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select
+    bar_raw = lookup_nearest_1d_select(
+        sf.tex("iSpectrogram"), circle, channel_where=music_uv[..., 1] < 0)
 
     # Waveform on top and bottom: sampled at v=0 along x only — one
     # separable row instead of per-pixel gathers
     wave_tex = sf.tex("iWaveform")
     wave_row = sample_separable(wave_tex, sf.astuv[0, :, 0], jnp.zeros(1))  # (1, W', C)
-    wave = 0.2 * wave_row[0][None, :, 0:2]
-    color = jnp.where((1 - sf.gluv[..., 1:2] < wave[..., 0:1]), color * 0.8, color)
-    color = jnp.where((1 + sf.gluv[..., 1:2] < wave[..., 1:2]), color * 0.8, color)
-    return ops.with_alpha(color, 1.0)
+    wave = 0.2 * wave_row[0]                                               # (W', C)
+
+    # The trivial 2D camera's plane projection is an axis-aligned affine map:
+    # its uv and out-of-bounds collapse to 1D lines the tail rebuilds per tile
+    cam_x = uv[0, :, 0]
+    cam_y = uv[:, 0, 1]
+    cam_oob = cam.out_of_bounds[0, :].astype(jnp.float32)
+
+    # Everything after the samples is per-pixel math + the SSAA box filter:
+    # one fused Pallas kernel (ops/tailfuse.py), reference semantics preserved
+    # by construction (same function runs unfused on non-TPU backends).
+    from shaderflow_tpu.ops import tailfuse
+
+    def tail(tp):
+        vol = tp.scalar("vol")
+        std = tp.scalar("std")
+        space_rgb = (1.0 / 255.0, 11.0 / 255.0, 26.0 / 255.0)
+
+        def sstep01(x):  # smoothstep(0, 1, x)
+            t = jnp.clip(x, 0.0, 1.0)
+            return t * t * (3.0 - 2.0 * t)
+
+        rgb = list(tp.vec("color"))
+
+        # Blink on snare/kick (screen agluv radius)
+        alen = jnp.sqrt(tp.agluv_x * tp.agluv_x + tp.agluv_y * tp.agluv_y)
+        t6 = jnp.clip(alen - 0.3, 0.0, 1.0)
+        t6 = t6 * t6
+        blink = 1.0 + 5.0 * std * (t6 * t6 * t6)
+        rgb = [c * blink for c in rgb]
+
+        # Music bars: music_uv = rotate2d(cam.gluv, -pi/2) * scale = (y, -x) * scale
+        scale = 1.0 - 0.4 * jnp.sqrt(jnp.abs(vol))
+        ux, uy = tp.col("camx"), tp.row("camy")
+        mx, my = uy * scale, -ux * scale
+        circle = jnp.abs(tailfuse.atan2(my, mx) / PI)
+        radius = 0.17
+
+        fscale = 0.05 + 3.0 * sstep01(circle / 2.0)
+        r = jnp.sqrt(mx * mx + my * my)
+        bar = jnp.sqrt(tp.plane("bar") / 1000.0) * fscale
+        ring = radius + 0.5 * bar
+        inside = r < radius
+        on_bar = r < ring
+        smix = sstep01(0.5 + bar)
+        fall = tailfuse.powf(jnp.maximum((r - ring) * 0.5, 1e-6), 0.05)
+        rgb = [jnp.where(inside, c * 0.5,
+                         jnp.where(on_bar, c + (1.0 - c) * smix, c * fall))
+               for c in rgb]
+
+        # Fade to deep space with camera-plane distance
+        dmix = sstep01(jnp.sqrt(ux * ux + uy * uy) / 20.0)
+        rgb = [c + (s - c) * dmix for c, s in zip(rgb, space_rgb)]
+
+        # Vignette (screen astuv)
+        sx, sy = tp.astuv_x, tp.astuv_y
+        vig = sx * (1.0 - sy) * sy * (1.0 - sx)
+        vpow = tailfuse.powf(jnp.maximum(vig * 20.0, 1e-6), 0.1 + 0.15 * vol)
+        rgb = [c * vpow for c in rgb]
+
+        # Out of bounds -> deep space color
+        oob = tp.col("oob") > 0.5
+        rgb = [jnp.where(oob, s, c) for c, s in zip(rgb, space_rgb)]
+
+        # Waveform overlay top and bottom (screen gluv y)
+        gy = tp.gluv_y
+        dark = (jnp.where(1.0 - gy < tp.col("wave0"), 0.8, 1.0)
+                * jnp.where(1.0 + gy < tp.col("wave1"), 0.8, 1.0))
+        return [c * dark for c in rgb]
+
+    return sf.tail(
+        tail,
+        color=color_planes,
+        bar=bar_raw.astype(jnp.bfloat16),
+        camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y),
+        oob=tailfuse.Col(cam_oob),
+        wave0=tailfuse.Col(wave[:, 0]), wave1=tailfuse.Col(wave[:, 1]),
+        vol=sf.iAudioVolume, std=sf.iAudioSTD)
 
 
 class Visualizer(ShaderScene):

@@ -47,7 +47,9 @@ if not os.environ.get("SHADERFLOW_NO_COMPILE_CACHE"):
         pass
 
 from shaderflow_tpu import logger
+from shaderflow_tpu.ops import tailfuse
 from shaderflow_tpu.ops.downsample import final_pass
+from shaderflow_tpu.ops.tailfuse import TailSpec
 from shaderflow_tpu.shader import Frag, ShaderProgram, finish_coords, make_coords
 from shaderflow_tpu.texture import ShaderTexture
 
@@ -272,6 +274,7 @@ class RenderEngine:
                 textures.update(carry)
 
                 new_carry = {}
+                tail_spec = None
                 for prog, base_coords in zip(program_list, coords):
                     temporal = prog.texture.temporal
                     if temporal > 1:
@@ -294,6 +297,22 @@ class RenderEngine:
                             layer=layer,
                         )
                         out = prog.render_layer(ctx)
+                        if isinstance(out, TailSpec):
+                            if (prog is program_list[-1] and temporal == 1
+                                    and layers == 1):
+                                # Main program's tail fuses with the final
+                                # pass — its texture is never materialized
+                                # (nothing renders after it this frame, and
+                                # temporal==1 forbids cross-frame reads)
+                                tail_spec = out
+                                continue
+                            out = tailfuse.eval_reference(
+                                out, *base_coords["astuv"].shape[:2], aspect)
+                            if out.shape[-1] < prog.texture.components:
+                                out = jnp.concatenate([out, jnp.ones(
+                                    out.shape[:-1] + (prog.texture.components
+                                                      - out.shape[-1],),
+                                    jnp.float32)], axis=-1)
                         matrix = matrix.at[0, layer].set(out)
                         textures[prog.name] = matrix
                     if temporal > 1:
@@ -301,8 +320,14 @@ class RenderEngine:
                         textures[prog.name] = matrix
                         new_carry[prog.name] = matrix
 
-                source = textures[main_name][main_slot, -1]
-                frame = final_pass(source, out_height, out_width, subsample)
+                if tail_spec is not None:
+                    render_h, render_w = sizes[-1]
+                    frame = tailfuse.run_tail_final(
+                        tail_spec, render_h, render_w,
+                        out_height, out_width, subsample, aspect)
+                else:
+                    source = textures[main_name][main_slot, -1]
+                    frame = final_pass(source, out_height, out_width, subsample)
                 return new_carry, frame
 
             return jax.lax.scan(body, carry, (packed, streams))

@@ -164,6 +164,47 @@ def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array,
     return jax.lax.optimization_barrier(out)
 
 
+def sample_separable_planes(tex: Sampler2D, u_line: Array, v_line: Array,
+                            precision: str = "float32",
+                            out_dtype=None) -> tuple:
+    """sample_separable, but returning one (H', W') plane PER CHANNEL.
+
+    Feeding a Pallas tail kernel (ops/tailfuse.py) from the channel-last
+    (H', W', C) form forces a minor-dim-3 relayout per channel slice, which
+    XLA fuses into the sampling dot and blows its scoped VMEM; pure 2D
+    matmuls per channel sidestep the 3D layout entirely (and lower to
+    cleaner MXU loops than the batched einsum)."""
+    h, w = tex.height, tex.width
+    u = u_line * w - 0.5
+    v = (1.0 - v_line) * h - 0.5
+
+    if not tex.linear:
+        iy = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, tex.repeat_y)
+        ix = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, tex.repeat_x)
+        data = tex.data[iy][:, ix]
+        return tuple(data[..., c] for c in range(data.shape[-1]))
+
+    w_rows = _interp_matrix(v, h, tex.repeat_y)               # (H', H)
+    w_cols = _interp_matrix(u, w, tex.repeat_x)               # (W', W)
+    data = tex.data
+    if precision == "bfloat16":
+        w_rows = w_rows.astype(jnp.bfloat16)
+        w_cols = w_cols.astype(jnp.bfloat16)
+        data = data.astype(jnp.bfloat16)
+    w_cols_t = w_cols.T                                       # (W, W')
+    out_dtype = out_dtype or jnp.float32
+    planes = []
+    for c in range(data.shape[-1]):
+        rows = jnp.dot(w_rows, data[..., c],
+                       preferred_element_type=jnp.float32)    # (H', W)
+        if precision == "bfloat16":
+            rows = rows.astype(jnp.bfloat16)
+        plane = jnp.dot(rows, w_cols_t,
+                        preferred_element_type=jnp.float32)   # (H', W')
+        planes.append(plane.astype(out_dtype))
+    return tuple(jax.lax.optimization_barrier(tuple(planes)))
+
+
 def splat_kernel(offsets: Array, size: int, weights: Array = None) -> Array:
     """Build a tap kernel from N continuous offsets by bilinear splatting:
     K = sum_j hat(x - dx_j) (x) hat(y - dy_j). Sampling a texture at p + d_j
@@ -241,6 +282,66 @@ def lookup_nearest_1d(tex: Sampler2D, v_field: Array, mode: str = "onehot",
     onehot = (rows[..., None] == jnp.arange(bins)).astype(jnp.bfloat16)
     return jnp.einsum("...b,bc->...c", onehot, table.astype(jnp.bfloat16),
                       preferred_element_type=out_dtype)
+
+
+def lookup_nearest_1d_planes(tex: Sampler2D, v_field: Array,
+                             precision: str = "bfloat16") -> tuple:
+    """lookup_nearest_1d, one 2D plane per channel (matvec per channel keeps
+    every array 2D — see sample_separable_planes for why that matters when
+    the consumer is a Pallas tail kernel)."""
+    h = tex.height
+    rows = jnp.floor((1.0 - v_field) * h).astype(jnp.int32)
+    rows = jnp.clip(rows, 0, h - 1) if not tex.repeat_y else jnp.mod(rows, h)
+    table = tex.data[:, 0, :]                           # (H, C)
+    bins, channels = table.shape
+    out_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    onehot = (rows[..., None] == jnp.arange(bins)).astype(jnp.bfloat16)
+    planes = tuple(
+        jnp.einsum("...b,b->...", onehot, table[:, c].astype(jnp.bfloat16),
+                   preferred_element_type=out_dtype)
+        for c in range(channels))
+    return tuple(jax.lax.optimization_barrier(planes))
+
+
+def lookup_nearest_1d_select(tex: Sampler2D, v_field: Array,
+                             channel_where: Array = None, channel: int = 0,
+                             chunk: int = 16) -> Array:
+    """Two-level per-pixel NEAREST table lookup returning ONE (H, W) plane.
+
+    The one-hot matmul of lookup_nearest_1d pays bins compares per pixel per
+    channel to build the one-hot — the dominant cost (the MXU contraction is
+    nearly free). This variant: (1) folds the per-pixel CHANNEL selection
+    (channel_where: True -> channel 0, False -> channel 1) into the low bits
+    of a flattened (bins*C,) table, and (2) splits the index into hi/lo
+    levels — a one-hot over ceil(bins*C/chunk) hi-groups (an MXU matmul
+    against the (groups, chunk) reshaped table) plus `chunk` select-adds for
+    the lo bits. Compares per pixel drop ~chunk-fold; the radial-bar lookup
+    measured 74 -> ~25 ms/batch at 4K.
+    """
+    h = tex.height
+    rows = jnp.floor((1.0 - v_field) * h).astype(jnp.int32)
+    rows = jnp.clip(rows, 0, h - 1) if not tex.repeat_y else jnp.mod(rows, h)
+    table = tex.data[:, 0, :]                           # (bins, C)
+    bins, channels = table.shape
+
+    if channel_where is not None:
+        flat_index = rows * channels + jnp.where(channel_where, 0, 1)
+    else:
+        flat_index = rows * channels + channel
+    n = bins * channels
+    groups = -(-n // chunk)
+    flat_table = jnp.pad(table.reshape(-1), (0, groups * chunk - n))
+
+    hi = flat_index // chunk
+    lo = flat_index - hi * chunk
+    onehot = (hi[..., None] == jnp.arange(groups)).astype(jnp.bfloat16)
+    chunks = jnp.einsum("...h,hk->...k", onehot,
+                        flat_table.reshape(groups, chunk).astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)  # (..., chunk)
+    # Lo-level as multiply+minor-dim reduce (one dot-epilogue fusion; per-k
+    # minor slices instead force the (..., chunk) intermediate into HBM)
+    onehot_lo = (lo[..., None] == jnp.arange(chunk)).astype(jnp.float32)
+    return jax.lax.optimization_barrier(jnp.sum(chunks * onehot_lo, axis=-1))
 
 
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:

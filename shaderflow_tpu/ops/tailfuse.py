@@ -1,0 +1,502 @@
+"""
+Fused shader-tail stage: per-pixel post-processing + SSAA downsample + uint8
+quantization in ONE Pallas kernel over output tiles.
+
+Why this exists: the reference renders the shader, then runs the final.glsl
+box downsample as a second GL pass (/root/reference/shaderflow/resources/
+shaders/fragment/final.glsl:12-32) — on a GPU both passes stream through
+cache-backed framebuffers. A literal XLA translation of a shader's
+"tail" (the elementwise math after the texture samples: masks, vignettes,
+overlays) becomes 10-20 separate full-field HBM passes at supersampled
+resolution (measured 2.4 ms/frame of a 4.6 ms visualizer frame at 4K), and
+the downsample another. This stage collapses all of it: the heavy sampled
+inputs are read from HBM exactly once per tile into VMEM, the tail math runs
+on the VPU at ssaa resolution, the s x s box average + GL u8 quantization
+happen in-register, and only the final (out_h, out_w) uint8 planes are
+written back.
+
+Usage, from a pixel program (shader.py Frag):
+
+    def my_frag(sf):
+        color = ...expensive sampling (MXU matmuls, lookups)...
+        def tail(tp):
+            r, g, b = tp.vec3("color")
+            v = tp.astuv_x * (1 - tp.astuv_y)      # coordinate planes
+            r, g, b = r * v, g * v, b * v
+            return r, g, b
+        return sf.tail(tail, color=color)
+
+The tail function is written in the PLANE dialect: every value is a 2D
+(rows, cols) array (one channel = one plane), which keeps the lane dimension
+wide on the VPU — channel-last (H, W, 3) arrays would run 3-lane-wide inside
+a kernel. It must be pure jnp/lax elementwise math (no convolutions, no
+neighbor access): the engine runs the SAME function either inside the fused
+Pallas kernel (TPU) or on full-resolution arrays (the exact reference path,
+used on CPU and whenever fusion preconditions fail), so semantics are
+identical by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------- #
+# Kernel-safe transcendentals (Mosaic has no atan2 lowering)
+
+def atan2(y: Array, x: Array) -> Array:
+    """Polynomial atan2 for tail functions (range (-pi, pi], max error ~1e-5
+    rad). Mosaic does not lower lax.atan2; this runs identically inside the
+    kernel and on the fallback path so both stay bit-comparable."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    # Minimax polynomial for atan(t), t in [0, 1]
+    r = t * (0.99997726 + s * (-0.33262347 + s * (0.19354346
+             + s * (-0.11643287 + s * (0.05265332 + s * -0.01172120)))))
+    r = jnp.where(ay > ax, jnp.float32(math.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def powf(x: Array, p) -> Array:
+    """pow for tail functions (Mosaic does not legalize math.powf): GLSL
+    semantics exp(p*log(x)) — x must be > 0 or the result is 0/undefined,
+    exactly like GLSL pow. x == 0 with p > 0 returns 0."""
+    return jnp.exp(jnp.asarray(p, jnp.float32) * jnp.log(x))
+
+
+# --------------------------------------------------------------------------- #
+# Input wrappers
+
+class Row(NamedTuple):
+    """A per-row input: shape (render_height,) — broadcast along x."""
+    value: Any
+
+
+class Col(NamedTuple):
+    """A per-column input: shape (render_width,) — broadcast along y."""
+    value: Any
+
+
+class Table(NamedTuple):
+    """A small (bins, channels) lookup table, fully VMEM-resident."""
+    value: Any
+
+
+class TailSpec(NamedTuple):
+    """A deferred tail stage: returned by Frag.tail(), consumed by the engine."""
+    fn: Callable[["TailCtx"], Any]
+    planes: dict          # name -> tuple of (Hr, Wr) arrays (channel planes)
+    rows: dict            # name -> (Hr,) array
+    cols: dict            # name -> (Wr,) array
+    scalars: dict         # name -> 0-d traced value
+    tables: dict          # name -> (bins, C) array
+
+
+def make_spec(fn: Callable, render_height: int, render_width: int,
+              **inputs) -> TailSpec:
+    """Classify keyword inputs by shape into the TailSpec buckets."""
+    planes, rows, cols, scalars, tables = {}, {}, {}, {}, {}
+    for name, value in inputs.items():
+        if isinstance(value, Row):
+            rows[name] = jnp.asarray(value.value).reshape(render_height)
+        elif isinstance(value, Col):
+            cols[name] = jnp.asarray(value.value).reshape(render_width)
+        elif isinstance(value, Table):
+            table = jnp.asarray(value.value)
+            if table.ndim == 1:
+                table = table[:, None]
+            tables[name] = table
+        elif isinstance(value, (tuple, list)):
+            # Pre-split channel planes (sample_separable_planes & co.)
+            channels = tuple(jnp.asarray(v) for v in value)
+            for channel in channels:
+                if channel.shape != (render_height, render_width):
+                    raise ValueError(
+                        f"Tail input {name!r}: channel plane shape "
+                        f"{channel.shape} != render {(render_height, render_width)}")
+            planes[name] = channels
+        else:
+            value = jnp.asarray(value)
+            if value.ndim == 0:
+                scalars[name] = value
+            elif value.ndim == 1:
+                if value.shape[0] == render_height and render_height != render_width:
+                    rows[name] = value
+                elif value.shape[0] == render_width and render_height != render_width:
+                    cols[name] = value
+                else:
+                    raise ValueError(
+                        f"Ambiguous 1D tail input {name!r} (len {value.shape[0]}); "
+                        f"wrap it in tailfuse.Row(...) or tailfuse.Col(...)")
+            elif value.ndim == 2:
+                planes[name] = (value,)
+            elif value.ndim == 3:
+                planes[name] = tuple(value[..., c] for c in range(value.shape[-1]))
+            else:
+                raise ValueError(f"Unsupported tail input {name!r} ndim={value.ndim}")
+    return TailSpec(fn, planes, rows, cols, scalars, tables)
+
+
+# --------------------------------------------------------------------------- #
+# The tail context: what the tail function sees
+
+class TailCtx:
+    """Handed to the tail function. All values are 2D (rows, cols) float32
+    planes covering either one VMEM tile (fused path) or the whole render
+    (fallback path) — the function cannot tell which."""
+
+    def __init__(self, planes, rows, cols, scalars, tables,
+                 row_index: Array, col_index: Array,
+                 render_height: int, render_width: int, aspect: float):
+        self._planes = planes      # name -> tuple of 2D arrays
+        self._rows = rows          # name -> (th, 1) or (Hr, 1) column vector
+        self._cols = cols          # name -> (1, tw) row vector
+        self._scalars = scalars
+        self._tables = tables      # name -> (bins, C) f32
+        self._row_index = row_index  # (th, tw) f32 global row index
+        self._col_index = col_index
+        self.render_height = render_height
+        self.render_width = render_width
+        self.aspect = aspect
+
+    # -- inputs --------------------------------------------------------------
+
+    def plane(self, name: str, channel: int = 0) -> Array:
+        return self._planes[name][channel].astype(jnp.float32)
+
+    def channels(self, name: str) -> int:
+        return len(self._planes[name])
+
+    def vec(self, name: str) -> tuple:
+        return tuple(p.astype(jnp.float32) for p in self._planes[name])
+
+    # Aliases making intent explicit at call sites
+    def vec2(self, name: str) -> tuple:
+        return self.vec(name)
+
+    def vec3(self, name: str) -> tuple:
+        return self.vec(name)
+
+    def row(self, name: str) -> Array:
+        """Per-row input broadcast to the working shape."""
+        return jnp.broadcast_to(self._rows[name].astype(jnp.float32),
+                                self._row_index.shape)
+
+    def col(self, name: str) -> Array:
+        return jnp.broadcast_to(self._cols[name].astype(jnp.float32),
+                                self._col_index.shape)
+
+    def scalar(self, name: str) -> Array:
+        return self._scalars[name]
+
+    def lookup(self, name: str, index_plane: Array, channel: int = 0) -> Array:
+        """Nearest lookup table[clip(round-down(index)), channel] for a small
+        Table input — unrolled select-accumulate (bins are small; inside the
+        kernel this is VPU-only and VMEM-local)."""
+        table = self._tables[name]
+        bins = table.shape[0]
+        idx = jnp.clip(index_plane.astype(jnp.int32), 0, bins - 1)
+        acc = jnp.zeros_like(index_plane, jnp.float32)
+        for b in range(bins):
+            acc = jnp.where(idx == b, jnp.float32(table[b, channel]), acc) \
+                if isinstance(table, np.ndarray) else \
+                jnp.where(idx == b, table[b, channel].astype(jnp.float32), acc)
+        return acc
+
+    # -- coordinates (ssaa-resolution, GL conventions) ------------------------
+
+    @property
+    def astuv_x(self) -> Array:
+        return (self._col_index + 0.5) / self.render_width
+
+    @property
+    def astuv_y(self) -> Array:
+        """v-up: 1 at the top row? No — astuv y grows DOWN the screen
+        (absolute shadertoy uv, shaderflow.glsl); row 0 = y near 1."""
+        return 1.0 - (self._row_index + 0.5) / self.render_height
+
+    @property
+    def agluv_x(self) -> Array:
+        return self.astuv_x * 2.0 - 1.0
+
+    @property
+    def agluv_y(self) -> Array:
+        return self.astuv_y * 2.0 - 1.0
+
+    @property
+    def gluv_x(self) -> Array:
+        return self.agluv_x * self.aspect
+
+    @property
+    def gluv_y(self) -> Array:
+        return self.agluv_y
+
+
+# --------------------------------------------------------------------------- #
+# Reference (unfused) evaluation — exact semantics, any backend
+
+def _full_ctx(spec: TailSpec, render_height: int, render_width: int,
+              aspect: float) -> TailCtx:
+    rows = {k: v.reshape(-1, 1) for k, v in spec.rows.items()}
+    cols = {k: v.reshape(1, -1) for k, v in spec.cols.items()}
+    row_index = jax.lax.broadcasted_iota(
+        jnp.float32, (render_height, render_width), 0)
+    col_index = jax.lax.broadcasted_iota(
+        jnp.float32, (render_height, render_width), 1)
+    return TailCtx(spec.planes, rows, cols, spec.scalars, spec.tables,
+                   row_index, col_index, render_height, render_width, aspect)
+
+
+def eval_reference(spec: TailSpec, render_height: int, render_width: int,
+                   aspect: float) -> Array:
+    """Run the tail on full-resolution arrays -> (Hr, Wr, 3) float32.
+    This is the semantic definition the fused kernel must match."""
+    ctx = _full_ctx(spec, render_height, render_width, aspect)
+    result = spec.fn(ctx)
+    planes = [jnp.broadcast_to(jnp.asarray(p, jnp.float32),
+                               (render_height, render_width))
+              for p in result]
+    return jnp.stack(planes[:3], axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# The fused kernel
+
+def _pool_matrices(th: int, tw: int, s: int) -> tuple:
+    """Box-average pooling as two MXU matmuls: L (th, th*s) pools rows,
+    R (tw*s, tw) pools columns. Mosaic supports neither strided slices nor
+    the split-reshape, but iota-compare matrices + dot_general it eats
+    natively — and the MXU does the sums for free."""
+    ths, tws = th * s, tw * s
+    left = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (th, ths), 1) // s
+        == jax.lax.broadcasted_iota(jnp.int32, (th, ths), 0),
+        1.0 / s, 0.0)
+    right = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (tws, tw), 0) // s
+        == jax.lax.broadcasted_iota(jnp.int32, (tws, tw), 1),
+        1.0 / s, 0.0)
+    return left, right
+
+
+def _pool(plane: Array, s: int, pool_lr: Optional[tuple] = None) -> Array:
+    """s x s box average of a (th*s, tw*s) plane -> (th, tw)."""
+    if s == 1:
+        return plane
+    left, right = pool_lr if pool_lr is not None else _pool_matrices(
+        plane.shape[0] // s, plane.shape[1] // s, s)
+    rows = jax.lax.dot_general(left, plane, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(rows, right, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _quantize_u8(plane: Array) -> Array:
+    """GL UNSIGNED_BYTE: floor(clamp(c,0,1)*255 + 0.5) (ties away from zero,
+    matching ops.downsample.quantize_u8). Mosaic has no f32->u8 cast; route
+    through int32 (values are already in [0, 255])."""
+    quantized = jnp.floor(jnp.clip(plane, 0.0, 1.0) * 255.0 + 0.5)
+    return quantized.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _choose_tile(out_height: int, out_width: int, subsample: int,
+                 n_inputs: int) -> tuple:
+    """Output-tile shape: keep the ssaa-res input tile lane-aligned and the
+    total VMEM footprint (inputs + ~8 live fn temporaries) under budget."""
+    th = int(os.environ.get("SHADERFLOW_TAIL_TH", 0)) or 64
+    tw = int(os.environ.get("SHADERFLOW_TAIL_TW", 0)) or 256
+    th = min(th, out_height)
+    tw = min(tw, out_width)
+    # Input tiles are (th*s, tw*s); shrink rows until the budget holds
+    budget = 10 * 1024 * 1024
+    while th > 8:
+        tile_bytes = (th * subsample) * (tw * subsample) * 4
+        if tile_bytes * (n_inputs + 8) <= budget:
+            break
+        th //= 2
+    return th, tw
+
+
+def fused_tail_final(
+    spec: TailSpec,
+    render_height: int,
+    render_width: int,
+    out_height: int,
+    out_width: int,
+    subsample: int,
+    aspect: float,
+    interpret: bool = False,
+) -> Array:
+    """Run the fused tail+downsample+quantize kernel -> (out_h, out_w, 3) u8.
+
+    Preconditions (checked by supports_fusion): render == out * subsample on
+    both axes — the exact-pooling regime of ops.downsample.ssaa_downsample.
+    """
+    s = int(subsample)
+    assert render_height == out_height * s and render_width == out_width * s
+
+    plane_names = sorted(spec.planes)
+    row_names = sorted(spec.rows)
+    col_names = sorted(spec.cols)
+    scalar_names = sorted(spec.scalars)
+    table_names = sorted(spec.tables)
+
+    th, tw = _choose_tile(out_height, out_width, s,
+                          sum(len(spec.planes[n]) for n in plane_names))
+    grid = (pl.cdiv(out_height, th), pl.cdiv(out_width, tw))
+    ths, tws = th * s, tw * s
+
+    # Flatten inputs in a fixed order
+    operands = []
+    in_specs = []
+    # Scalars: one packed (1, K) f32 vector in SMEM
+    n_scalars = len(scalar_names)
+    if n_scalars:
+        packed_scalars = jnp.stack(
+            [jnp.asarray(spec.scalars[n], jnp.float32) for n in scalar_names]
+        ).reshape(1, n_scalars)
+        operands.append(packed_scalars)
+        in_specs.append(pl.BlockSpec((1, n_scalars), lambda i, j: (0, 0),
+                                     memory_space=pltpu.SMEM))
+    plane_channels = []
+    for name in plane_names:
+        for channel in spec.planes[name]:
+            operands.append(channel)
+            in_specs.append(pl.BlockSpec((ths, tws), lambda i, j: (i, j),
+                                         memory_space=pltpu.VMEM))
+        plane_channels.append((name, len(spec.planes[name])))
+    for name in row_names:
+        operands.append(spec.rows[name].reshape(render_height, 1))
+        in_specs.append(pl.BlockSpec((ths, 1), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    for name in col_names:
+        operands.append(spec.cols[name].reshape(1, render_width))
+        in_specs.append(pl.BlockSpec((1, tws), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+    for name in table_names:
+        table = spec.tables[name]
+        operands.append(table)
+        in_specs.append(pl.BlockSpec(table.shape, lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    fn = spec.fn
+
+    def kernel(*refs):
+        pos = 0
+        scalars = {}
+        if n_scalars:
+            scalar_ref = refs[0]
+            pos = 1
+            for k, name in enumerate(scalar_names):
+                scalars[name] = scalar_ref[0, k]
+        planes = {}
+        for name, n_channels in plane_channels:
+            planes[name] = tuple(refs[pos + c][...] for c in range(n_channels))
+            pos += n_channels
+        rows = {}
+        for name in row_names:
+            rows[name] = refs[pos][...]
+            pos += 1
+        cols = {}
+        for name in col_names:
+            cols[name] = refs[pos][...]
+            pos += 1
+        tables = {}
+        for name in table_names:
+            tables[name] = refs[pos][...]
+            pos += 1
+        out_refs = refs[pos:pos + 3]
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = (i * th * s).astype(jnp.float32)
+        col0 = (j * tw * s).astype(jnp.float32)
+        row_index = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (ths, tws), 0).astype(jnp.float32)
+        col_index = col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (ths, tws), 1).astype(jnp.float32)
+
+        ctx = TailCtx(planes, rows, cols, scalars, tables,
+                      row_index, col_index,
+                      render_height, render_width, aspect)
+        result = fn(ctx)
+        pool_lr = _pool_matrices(th, tw, s) if s > 1 else None
+        for out_ref, plane in zip(out_refs, result):
+            plane = jnp.broadcast_to(jnp.asarray(plane, jnp.float32), (ths, tws))
+            out_ref[...] = _quantize_u8(_pool(plane, s, pool_lr))
+
+    out_shape = [jax.ShapeDtypeStruct((out_height, out_width), jnp.uint8)] * 3
+    out_specs = [pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)] * 3
+
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# Dispatch
+
+def backend_supports_fusion() -> bool:
+    if os.environ.get("SHADERFLOW_NO_TAILFUSE") == "1":
+        return False
+    if os.environ.get("SHADERFLOW_TAILFUSE_INTERPRET") == "1":
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def supports_fusion(render_height: int, render_width: int,
+                    out_height: int, out_width: int, subsample: int) -> bool:
+    """The fused kernel handles the exact-pooling SSAA regime (render is an
+    integer multiple of the output and the kernel equals that multiple) —
+    the north-star configs. Everything else falls back to reference math."""
+    s = int(subsample)
+    return (s >= 1
+            and render_height == out_height * s
+            and render_width == out_width * s
+            and backend_supports_fusion())
+
+
+def run_tail_final(
+    spec: TailSpec,
+    render_height: int,
+    render_width: int,
+    out_height: int,
+    out_width: int,
+    subsample: int,
+    aspect: float,
+) -> Array:
+    """Fused when possible, else reference tail + ops.downsample.final_pass."""
+    if supports_fusion(render_height, render_width, out_height, out_width, subsample):
+        return fused_tail_final(
+            spec, render_height, render_width, out_height, out_width,
+            int(subsample), aspect,
+            interpret=os.environ.get("SHADERFLOW_TAILFUSE_INTERPRET") == "1")
+    from shaderflow_tpu.ops.downsample import final_pass
+    rgb = eval_reference(spec, render_height, render_width, aspect)
+    return final_pass(rgb, out_height, out_width, int(subsample))

@@ -172,6 +172,18 @@ class Frag:
     def agtexture(self, tex, agluv, mirror: bool = False):
         return ops.agtexture(self._sampler(tex), agluv, self.uniform("iWantAspect"), mirror)
 
+    # -- fused tail stage -----------------------------------------------------
+
+    def tail(self, fn, **inputs):
+        """Defer the remaining per-pixel math to the fused tail stage
+        (ops/tailfuse.py): `fn(tp)` runs in the PLANE dialect either inside
+        one Pallas kernel fused with the SSAA downsample + u8 quantize (TPU)
+        or on full-resolution arrays (reference semantics; CPU / fallback).
+        Only valid as the RETURN value of a pixel program."""
+        from shaderflow_tpu.ops import tailfuse
+        height, width = self._coords["astuv"].shape[:2]
+        return tailfuse.make_spec(fn, height, width, **inputs)
+
     # -- camera -------------------------------------------------------------
 
     def get_camera(self, name: str = "iCamera") -> cameralib.CameraRays:
@@ -410,11 +422,23 @@ class ShaderProgram(ShaderModule):
         rule — the last instance to write a pixel wins; sf.discard(mask)
         lets an instance leave pixels to the instances below (instance 0
         shows the clear color, zeros, where it discards)."""
+        from shaderflow_tpu.ops.tailfuse import TailSpec
         result = None
         for instance in range(self.instances):
             ctx.instance = instance
             ctx._discard = None
-            out = jnp.asarray(self._resolved(ctx), jnp.float32)
+            out = self._resolved(ctx)
+            if isinstance(out, TailSpec):
+                if self.instances == 1:
+                    # The engine decides whether to fuse (main program) or
+                    # materialize (anything else samples this texture)
+                    return out
+                # Instanced draws need the materialized layer for compositing
+                from shaderflow_tpu.ops import tailfuse
+                height, width = ctx._coords["astuv"].shape[:2]
+                out = tailfuse.eval_reference(
+                    out, height, width, ctx._coords["aspect"])
+            out = jnp.asarray(out, jnp.float32)
             components = self.texture.components
             if out.shape[-1] < components:
                 pad = jnp.ones(out.shape[:-1] + (components - out.shape[-1],), jnp.float32)

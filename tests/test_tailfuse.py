@@ -1,0 +1,98 @@
+"""Fused tail stage (ops/tailfuse.py): the Pallas kernel must match the
+reference (full-resolution jnp) evaluation bit-for-bit at the u8 level."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shaderflow_tpu.ops import tailfuse
+from shaderflow_tpu.ops.downsample import final_pass
+
+
+def _make_spec(render_h, render_w):
+    rng = np.random.default_rng(7)
+    color = jnp.asarray(rng.random((render_h, render_w, 3), np.float32))
+    gain = jnp.asarray(rng.random((render_h, render_w), np.float32))
+    rowv = jnp.asarray(np.linspace(0.0, 1.0, render_h, dtype=np.float32))
+    colv = jnp.asarray(np.linspace(-1.0, 1.0, render_w, dtype=np.float32))
+    vol = jnp.float32(0.37)
+
+    def tail(tp):
+        r, g, b = tp.vec3("color")
+        k = tp.plane("gain")
+        y = tp.row("rowv")
+        x = tp.col("colv")
+        v = tp.scalar("vol")
+        vig = tp.astuv_x * (1.0 - tp.astuv_y) + 0.5
+        mask = (tp.gluv_x * tp.gluv_x + tp.gluv_y * tp.gluv_y) < 1.0
+        r = jnp.where(mask, r * k + v, r) * vig
+        g = jnp.where(mask, g + y, g * 0.5) * vig
+        b = (b + x * 0.1) * (1.0 + v) * vig
+        return r, g, b
+
+    return tailfuse.make_spec(
+        tail, render_h, render_w,
+        color=color, gain=gain,
+        rowv=tailfuse.Row(rowv), colv=tailfuse.Col(colv), vol=vol)
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+def test_fused_matches_reference(subsample):
+    out_h, out_w = 48, 128
+    render_h, render_w = out_h * subsample, out_w * subsample
+    spec = _make_spec(render_h, render_w)
+    aspect = out_w / out_h
+
+    rgb = tailfuse.eval_reference(spec, render_h, render_w, aspect)
+    reference = np.asarray(final_pass(rgb, out_h, out_w, subsample))
+
+    fused = np.asarray(tailfuse.fused_tail_final(
+        spec, render_h, render_w, out_h, out_w, subsample, aspect,
+        interpret=True))
+
+    assert fused.shape == (out_h, out_w, 3)
+    assert fused.dtype == np.uint8
+    # Identical math, possibly different summation order in the pooling ->
+    # at most one quantization step apart, and only on exact ties
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01
+
+
+def test_uneven_tiles():
+    """Output size not divisible by the tile: edge blocks must mask correctly."""
+    out_h, out_w = 30, 100  # < default tile, non-multiples of 8/128
+    s = 2
+    render_h, render_w = out_h * s, out_w * s
+    spec = _make_spec(render_h, render_w)
+    rgb = tailfuse.eval_reference(spec, render_h, render_w, 1.0)
+    reference = np.asarray(final_pass(rgb, out_h, out_w, s))
+    fused = np.asarray(tailfuse.fused_tail_final(
+        spec, render_h, render_w, out_h, out_w, s, 1.0, interpret=True))
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_make_spec_classification():
+    spec = _make_spec(16, 32)
+    assert set(spec.planes) == {"color", "gain"}
+    assert len(spec.planes["color"]) == 3
+    assert set(spec.rows) == {"rowv"}
+    assert set(spec.cols) == {"colv"}
+    assert set(spec.scalars) == {"vol"}
+
+
+def test_ambiguous_1d_rejected():
+    with pytest.raises(ValueError, match="Ambiguous"):
+        tailfuse.make_spec(lambda tp: None, 32, 32, x=jnp.zeros(32))
+
+
+def test_run_tail_final_fallback_on_cpu():
+    """On CPU (no TPU backend) run_tail_final must take the reference path."""
+    out_h, out_w, s = 24, 64, 2
+    spec = _make_spec(out_h * s, out_w * s)
+    out = tailfuse.run_tail_final(spec, out_h * s, out_w * s, out_h, out_w, s, 1.0)
+    rgb = tailfuse.eval_reference(spec, out_h * s, out_w * s, 1.0)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(final_pass(rgb, out_h, out_w, s)))
