@@ -231,6 +231,13 @@ class ExportingHelper:
 
     # -- frame transport -----------------------------------------------------
 
+    @property
+    def wants_host_frames(self) -> bool:
+        """True when the sink consumes frame bytes on the host (everything
+        except NullSink / no sink) — gates the export loop's early async
+        device->host copies."""
+        return self.sink is not None and not isinstance(self.sink, NullSink)
+
     def pipe_batch(self, frames) -> None:
         """Send one uint8 (F, H, W, 3) batch to the sink. Accepts device
         arrays; the host copy happens here (and is skipped entirely for

@@ -39,6 +39,10 @@ MAX_NOTE = 128
 class ShaderPiano(ShaderModule):
 
     name: str = "iPiano"
+    precompute: bool = True
+    """Freewheel exports precompute the whole run's textures as device
+    sequences (no per-frame host streaming); set False to force the
+    reference's per-frame streamed path (testing / animated scene.speed)."""
     time_offset: float = 0.0
     roll_time: float = 2.0
     height: float = 0.275
@@ -169,10 +173,63 @@ class ShaderPiano(ShaderModule):
                 data=np.array([when, bpm], np.float32),
                 viewport=(0, offset, 1, 1))
 
+    # -- offline whole-run precompute ------------------------------------------
+
+    def _precompute_sequences(self) -> bool:
+        """Freewheel exports: run the whole per-frame note scan up front and
+        bind the three per-frame textures as DEVICE SEQUENCES (engine indexes
+        them by iFrameIndex inside the render scan). Kills the 512 KB/frame
+        roll-texture host stream that made 4K exports transfer-bound (the
+        reference re-fills these textures every frame on the GL side,
+        piano/module.py:202-277 — on a remote TPU that stream dominates).
+
+        Exact parity with the streamed path: the same scan logic runs at
+        t_f = offset + f*speed/fps (the freewheel time series) and both
+        dynamics ODEs step with the same dt from their setup() state. The
+        smoothed note-range (a per-frame vec2 UNIFORM) is recorded and
+        replayed by update(). Assumes constant scene.speed over the export —
+        true for the CLI surface (speed is a scalar flag)."""
+        scene = self.scene
+        total = max(1, round(scene.runtime * scene.fps))
+        speed = float(scene.speed)
+        key = (total, scene.fps, speed, self.time_offset, self.roll_time,
+               self.lookahead, self.release_before_end,
+               sum(len(b) for blk in self.tree.values() for b in blk.values()),
+               self.global_minimum_note, self.global_maximum_note)
+        if getattr(self, "_sequence_key", None) != key:
+            dt = abs(speed) / scene.fps
+            keys_seq = np.empty((total, 1, MAX_NOTE, 1), np.float32)
+            chan_seq = np.empty((total, 1, MAX_NOTE, 1), np.float32)
+            roll_seq = np.empty((total, MAX_NOTE, MAX_ROLLING, 4), np.float32)
+            ranges = np.empty((total, 2), np.float32)
+
+            # Fresh ODE state, exactly as setup() leaves it
+            self.key_press_dynamics.set(np.zeros(MAX_NOTE, np.float32))
+            self.note_range_dynamics.set(np.zeros(2, np.float32))
+            for f in range(total):
+                time = self.time_offset + speed * f / scene.fps
+                roll, channels = self._scan_frame(time, dt)
+                roll_seq[f] = roll
+                chan_seq[f, 0, :, 0] = channels[0]
+                keys_seq[f, 0, :, 0] = self.key_press_dynamics.value
+                ranges[f] = self.note_range_dynamics.value
+            self._sequence_key = key
+            self._sequence_arrays = (keys_seq, chan_seq, roll_seq, ranges)
+        keys_seq, chan_seq, roll_seq, ranges = self._sequence_arrays
+        self.keys_texture.set_sequence(keys_seq)
+        self.channel_texture.set_sequence(chan_seq)
+        self.roll_texture.set_sequence(roll_seq)
+        self._range_values = ranges
+        logger.info(f"Precomputed {total} piano-roll frames as device "
+                    f"sequences ({roll_seq.nbytes / 1e6:.0f} MB roll)")
+        return True
+
     # -- per-frame scan (reference module.py:202-277) --------------------------
 
-    def update(self) -> None:
-        time = self.scene.time + self.time_offset
+    def _scan_frame(self, time: float, dt: float):
+        """One frame of the note scan: steps both dynamics, returns the
+        (roll, channels) arrays for this frame. Shared by the realtime
+        update() and the offline precompute."""
         upcoming: set[int] = set()
 
         self.key_press_dynamics.target.fill(0)
@@ -220,8 +277,24 @@ class ShaderPiano(ShaderModule):
             min(upcoming, default=self.global_minimum_note),
             max(upcoming, default=self.global_maximum_note)), np.float32)
 
-        self.note_range_dynamics.next(dt=abs(self.scene.dt))
-        self.key_press_dynamics.next(dt=abs(self.scene.dt))
+        self.note_range_dynamics.next(dt=dt)
+        self.key_press_dynamics.next(dt=dt)
+        return roll, channels
+
+    def update(self) -> None:
+        if self.scene.freewheel and self.precompute:
+            if (self.keys_texture.sequence is None
+                    or getattr(self, "_range_values", None) is None):
+                self._precompute_sequences()
+            index = min(self.scene._frame_counter, len(self._range_values) - 1)
+            self.note_range_dynamics.value = self._range_values[index]
+            return
+
+        self.keys_texture.set_sequence(None)
+        self.channel_texture.set_sequence(None)
+        self.roll_texture.set_sequence(None)
+        roll, channels = self._scan_frame(
+            self.scene.time + self.time_offset, abs(self.scene.dt))
         self.keys_texture.write(data=self.key_press_dynamics.value.astype(np.float32))
         self.roll_texture.write(data=roll)
         self.channel_texture.write(data=channels.astype(np.float32))

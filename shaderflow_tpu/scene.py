@@ -449,9 +449,9 @@ class ShaderScene(ShaderModule):
         """Frames per device launch: larger batches amortize per-launch
         dispatch/transfer latency (significant on remote-attached devices);
         bounded by output size so frame buffers + streamed texture stacks
-        stay modest. 32 frames at 1080p, 8 at 4K, 64 for small scenes."""
+        stay modest. 64 frames at 1080p, 16 at 4K."""
         pixels = self._width * self._height
-        return int(np.clip(2 ** 26 // max(1, pixels), 4, 64))
+        return int(np.clip(2 ** 27 // max(1, pixels), 4, 64))
 
     def _export_loop(self, export: ExportingHelper, batch: Optional[int],
                      start_frame: int = 0, devices: Optional[int] = None):
@@ -512,6 +512,16 @@ class ShaderScene(ShaderModule):
         while frame_index < total and not self.quit:
             count = min(size, total - frame_index)
             self.engine.begin_batch()
+            if pending is not None and export.wants_host_frames:
+                # Batch k-1 finishes on device while we capture batch k on
+                # the host; enqueue its device->host copy now so the actual
+                # transfer also overlaps the capture + batch-k compute.
+                # (Never for NullSink: it measures pure render throughput and
+                # must not pay the device->host link.)
+                try:
+                    pending.copy_to_host_async()
+                except Exception:
+                    pass
             for _ in range(count):
                 self.next(dt=self.frametime)
             frames = self.engine.flush(count, pad_to=size)
