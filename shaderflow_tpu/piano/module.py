@@ -208,8 +208,13 @@ class ShaderPiano(ShaderModule):
             self.note_range_dynamics.set(np.zeros(2, np.float32))
             for f in range(total):
                 time = self.time_offset + speed * f / scene.fps
-                roll, channels = self._scan_frame(time, dt)
-                roll_seq[f] = roll
+                # scene.dt is set AFTER module updates (frame 0 renders at
+                # t=0), so the streamed path steps frame 0 with dt == 0 —
+                # replicate exactly
+                roll, channels = self._scan_frame(time, dt if f else 0.0)
+                # Storage row 0 = top: texture.write() receives GL bottom-up
+                # rows, so the streamed matrix holds roll[::-1]
+                roll_seq[f] = roll[::-1]
                 chan_seq[f, 0, :, 0] = channels[0]
                 keys_seq[f, 0, :, 0] = self.key_press_dynamics.value
                 ranges[f] = self.note_range_dynamics.value

@@ -1,0 +1,257 @@
+"""
+GL-exact NumPy oracle renderer for PSNR parity checks.
+
+An INDEPENDENT float32 NumPy transcription of the reference's GLSL pipeline
+(/root/reference/shaderflow/resources/shaders/): the vertex-shader
+coordinate set (vertex/default.glsl:4-16), the GetCamera macro +
+CameraProject/CameraRay2D (include/camera.glsl:55-130), the stdlib pieces
+the graded scenes touch (include/shaderflow.glsl: atan2 382-400, hsv2rgb
+406-424, palette 212-226), the default fragment (fragment/default.glsl),
+the Mandelbrot/Julia escape fragments (examples/fractals/shaders/*.frag),
+and the final SSAA box downsample + UNSIGNED_BYTE store
+(fragment/final.glsl:12-32).
+
+This is the acceptance oracle for BASELINE.json's "PSNR >= 40 dB vs the
+OpenGL reference": it consumes the SAME per-frame uniform dict the engine
+captures (host state is GL-independent) and renders what the GL driver
+would, up to f32 transcendental ULPs. tests/test_psnr_reference.py asserts
+the engine's frames against it.
+
+GL conventions honored:
+  * fragments at pixel centers, framebuffer row 0 = BOTTOM (output flipped
+    to the engine's row-0-top convention at the end)
+  * all math in float32
+  * u8 store = floor(clamp(c,0,1)*255 + 0.5)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F = np.float32
+PI = F(np.pi)
+TAU = F(2 * np.pi)
+
+
+# --------------------------------------------------------------------------- #
+# Coordinates (vertex/default.glsl): interpolated over the fullscreen quad,
+# fragment at pixel center, row 0 = bottom (GL raster order)
+
+def coords(width: int, height: int, aspect: float):
+    x = (np.arange(width, dtype=F) + F(0.5)) / F(width)       # astuv.x
+    y = (np.arange(height, dtype=F) + F(0.5)) / F(height)     # astuv.y, bottom-up
+    astuv = np.stack(np.meshgrid(x, y, indexing="xy"), axis=-1).astype(F)
+    agluv = astuv * F(2) - F(1)
+    gluv = agluv * np.array([aspect, 1.0], F)
+    return dict(astuv=astuv, agluv=agluv, gluv=gluv)
+
+
+# --------------------------------------------------------------------------- #
+# Stdlib pieces (include/shaderflow.glsl)
+
+def gl_atan2(y, x):
+    """atan2 with (0, 2pi) range (shaderflow.glsl:382-388)."""
+    base = np.arctan2(y.astype(F), x.astype(F)).astype(F)
+    neg = np.arctan2((-y).astype(F), x.astype(F)).astype(F)
+    return np.where(y < 0, TAU - neg, base).astype(F)
+
+
+def hsv2rgb(h, s, v):
+    """shaderflow.glsl:406-424 (switch on floor(6h/2pi))."""
+    h = np.mod(h.astype(F), TAU)
+    c = F(v) * F(s)
+    x = c * (1 - np.abs(np.mod(h / (PI / 3), F(2)) - 1)).astype(F)
+    m = F(v) - c
+    sector = np.floor(6 * (h / TAU)).astype(np.int32)
+    zeros = np.zeros_like(h)
+    r = np.select([sector == 0, sector == 1, sector == 2,
+                   sector == 3, sector == 4], [c, x, zeros, zeros, x], c)
+    g = np.select([sector == 0, sector == 1, sector == 2,
+                   sector == 3, sector == 4], [x, c, c, x, zeros], zeros)
+    b = np.select([sector == 0, sector == 1, sector == 2,
+                   sector == 3, sector == 4], [zeros, zeros, x, c, c], x)
+    return (np.stack([r, g, b], axis=-1) + m).astype(F)
+
+
+def palette(t, a, b, c, d):
+    """4-stop palette (shaderflow.glsl:212-220)."""
+    t = np.asarray(t, F)[..., None]
+    a, b, c, d = (np.array(v, F) for v in (a, b, c, d))
+    out = np.where(t < 0.25, a + (b - a) * (t * 4),
+                   np.where(t < 0.5, b + (c - b) * ((t - F(0.25)) * 4),
+                            c + (d - c) * ((t - F(0.5)) * 4)))
+    return out.astype(F)
+
+
+MAGMA = ((0.01060815, 0.01808215, 0.10018654),
+         (0.38092887, 0.12061482, 0.32506528),
+         (0.79650140, 0.10506637, 0.31063031),
+         (0.95922872, 0.53307513, 0.37488950))
+
+
+def palette_magma(t):
+    return palette(t, *MAGMA)
+
+
+# --------------------------------------------------------------------------- #
+# Camera (include/camera.glsl) — perspective projection + CameraRay2D
+
+def get_camera(uniforms: dict, co: dict, name: str = "iCamera"):
+    """GetCamera macro -> dict with gluv (H, W, 2) and out_of_bounds (H, W).
+    Consumes the engine-captured uniform values (host camera state)."""
+    u = lambda key: np.asarray(uniforms[f"{name}{key}"], F)
+    gluv = co["gluv"]
+    position = u("Position")
+    right, up, forward = u("Right"), u("Upward"), u("Forward")
+    backward = -forward
+    zoom, iso = F(u("Zoom")), F(u("Isometric"))
+    orbital, dolly = F(u("Orbital")), F(u("Dolly"))
+    focal = F(u("FocalLength"))
+
+    def rectangle(g, size):
+        return (size * (g[..., 0:1] * right + g[..., 1:2] * up)).astype(F)
+
+    origin = (position + rectangle(gluv, zoom * iso)
+              + backward * orbital + backward * dolly).astype(F)
+    target = (position + rectangle(gluv, zoom)
+              + backward * orbital + forward * focal).astype(F)
+
+    plane_point = np.array([0, 0, 1], F)
+    plane_normal = np.array([0, 0, 1], F)
+    num = ((plane_point - origin) * plane_normal).sum(-1).astype(F)
+    den = ((target - origin) * plane_normal).sum(-1).astype(F)
+    t = (num / den).astype(F)
+    hit = (origin + t[..., None] * (target - origin)).astype(F)
+
+    want_aspect = F(np.asarray(uniforms["iWantAspect"], F))
+    out_of_bounds = (t < 0) | (np.abs(gluv[..., 0]) > want_aspect)
+    cam_gluv = hit[..., 0:2]
+    aspect = F(co["gluv"][0, 1, 0] / co["agluv"][0, 1, 0])
+    return dict(gluv=cam_gluv, agluv=cam_gluv / np.array([aspect, 1], F),
+                out_of_bounds=out_of_bounds)
+
+
+# --------------------------------------------------------------------------- #
+# Fragments
+
+def default_fragment(uniforms: dict, width: int, height: int, aspect: float):
+    """fragment/default.glsl (the welcome neon ring) -> (H, W, 3) f32,
+    row 0 = bottom."""
+    co = coords(width, height, aspect)
+    cam = get_camera(uniforms, co)
+    uv = cam["gluv"]
+
+    angle = gl_atan2(uv[..., 1], uv[..., 0])
+    tau_phase = F(np.asarray(uniforms["iTau"], F))
+    color = F(0.3) + hsv2rgb(angle + (2 * TAU * tau_phase) - (PI / 4), 1.0, 1.0)
+
+    circle = (F(1.333) * np.sqrt((uv * uv).sum(-1)).astype(F) - F(1)).astype(F)
+    width_f = (2 * np.abs(1 / (circle * circle)) * F(1e-4)).astype(F)
+
+    grid_on = np.mod(np.floor(uv[..., 0] * 4) + np.floor(uv[..., 1] * 4), 2.0) > 0.5
+    grid = np.where(grid_on, F(0.22), F(0.20))
+    base = np.where(circle < 0, F(0.18), grid)
+
+    rgb = base[..., None] + width_f[..., None] * color
+
+    away = (co["astuv"] * (1 - co["astuv"][..., ::-1])).astype(F)
+    linear = (50 * away[..., 0] * away[..., 1]).astype(F)
+    vig = np.clip(np.power(linear, F(0.1), dtype=F), 0, 1)
+    rgb = rgb * vig[..., None]
+
+    rgb = np.where(cam["out_of_bounds"][..., None], F(0.15), rgb)
+    return rgb.astype(F)
+
+
+def mandelbrot_fragment(uniforms: dict, width: int, height: int, aspect: float):
+    """examples/fractals/shaders/mandelbrot.frag -> (H, W, 3) f32."""
+    co = coords(width, height, aspect)
+    cam = get_camera(uniforms, co)
+    z = cam["gluv"] - np.array([0.5, 0.0], F)
+    c = z.copy()
+
+    quality = int(1000.0 * float(np.asarray(uniforms["iQuality"], F)))
+    zx, zy = z[..., 0].copy(), z[..., 1].copy()
+    cx, cy = c[..., 0], c[..., 1]
+    iters = np.zeros(zx.shape, np.int32)
+    active = np.ones(zx.shape, bool)
+    for _ in range(quality):
+        # length(z) > 3 checked BEFORE the step; escaped pixels freeze
+        radius = np.sqrt(zx * zx + zy * zy).astype(F)
+        active &= ~(radius > 3.0)
+        if not active.any():
+            break
+        nzx = (zx * zx - zy * zy + cx).astype(F)
+        nzy = (zx * zy * 2 + cy).astype(F)
+        zx = np.where(active, nzx, zx)
+        zy = np.where(active, nzy, zy)
+        iters += active
+    t = np.power((1 - iters.astype(F) / F(quality)).astype(F), F(20), dtype=F)
+    rgb = palette_magma(t)
+    rgb = np.where(cam["out_of_bounds"][..., None], palette_magma(np.zeros(t.shape, F)), rgb)
+    return rgb.astype(F)
+
+
+# --------------------------------------------------------------------------- #
+# Final pass (fragment/final.glsl): subsample^2 bilinear taps, u8 store
+
+def _sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """GL_LINEAR + CLAMP_TO_EDGE sample of (H, W, C) row-0-bottom storage at
+    texcoords (u right, v up)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = (u.astype(F) * w - F(0.5))
+    y = (v.astype(F) * h - F(0.5))
+    x0 = np.floor(x); y0 = np.floor(y)
+    fx = (x - x0)[..., None].astype(F)
+    fy = (y - y0)[..., None].astype(F)
+    x0i = np.clip(x0.astype(np.int64), 0, w - 1)
+    x1i = np.clip(x0.astype(np.int64) + 1, 0, w - 1)
+    y0i = np.clip(y0.astype(np.int64), 0, h - 1)
+    y1i = np.clip(y0.astype(np.int64) + 1, 0, h - 1)
+    c00 = tex[y0i, x0i]; c01 = tex[y0i, x1i]
+    c10 = tex[y1i, x0i]; c11 = tex[y1i, x1i]
+    top = c00 + (c01 - c00) * fx
+    bottom = c10 + (c11 - c10) * fx
+    return (top + (bottom - top) * fy).astype(F)
+
+
+def final_pass(render: np.ndarray, out_width: int, out_height: int,
+               subsample: int) -> np.ndarray:
+    """final.glsl + u8 conversion; input and output row 0 = bottom."""
+    x = (np.arange(out_width, dtype=F) + F(0.5)) / F(out_width)
+    y = (np.arange(out_height, dtype=F) + F(0.5)) / F(out_height)
+    astuv = np.stack(np.meshgrid(x, y, indexing="xy"), axis=-1).astype(F)
+
+    if subsample == 1:
+        rgb = _sample_bilinear(render, astuv[..., 0], astuv[..., 1])[..., :3]
+    else:
+        pixel = (F(1) / np.array([out_width, out_height], F))
+        corner = astuv - pixel / 2
+        origin = corner + (pixel / subsample) / 2
+        acc = np.zeros((out_height, out_width, 3), F)
+        for sx in range(subsample):
+            for sy in range(subsample):
+                offset = (pixel / subsample) * np.array([sx, sy], F)
+                uv = origin + offset
+                acc += _sample_bilinear(render, uv[..., 0], uv[..., 1])[..., :3]
+        rgb = acc / F(subsample * subsample)
+    return np.floor(np.clip(rgb, 0, 1) * 255 + F(0.5)).astype(np.uint8)
+
+
+def render_scene(fragment, uniforms: dict, render_width: int, render_height: int,
+                 out_width: int, out_height: int, subsample: int,
+                 aspect: float) -> np.ndarray:
+    """Full frame: fragment at render res -> final pass -> flip to the
+    engine's row-0-top orientation. Returns (out_h, out_w, 3) uint8."""
+    rgb = fragment(uniforms, render_width, render_height, aspect)
+    frame = final_pass(rgb, out_width, out_height, subsample)
+    return frame[::-1]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64) / 255.0
+    b = np.asarray(b, np.float64) / 255.0
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(1.0 / mse))
