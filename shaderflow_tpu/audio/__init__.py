@@ -287,6 +287,27 @@ class ShaderAudio(BrokenAudio, ShaderModule):
             scene=self.scene, name=f"{self.name}STD",
             frequency=10, zeta=1, response=0, value=0)
 
+    def commands(self) -> None:
+        # Reference audio/module.py:423-428: device listing commands
+        self.register_command(self.print_recorders)
+        self.register_command(self.print_speakers)
+
+    def print_recorders(self) -> None:
+        """List available audio capture devices."""
+        try:
+            for device in self.recorders():
+                print(f"recorder: {device.name}")
+        except Exception as error:
+            print(f"soundcard unavailable ({error})")
+
+    def print_speakers(self) -> None:
+        """List available audio playback devices."""
+        try:
+            for device in self.speakers():
+                print(f"speaker: {device.name}")
+        except Exception as error:
+            print(f"soundcard unavailable ({error})")
+
     @property
     def duration(self) -> float:
         if self._file is None:

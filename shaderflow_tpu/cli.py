@@ -22,9 +22,30 @@ from typing import Optional, Sequence, Union
 from shaderflow_tpu import logger
 from shaderflow_tpu.scene import ShaderScene
 
-VCODECS = ("h264", "h264_nvenc", "h265", "h265_nvenc", "av1_svt", "av1_rav1e",
-           "av1_nvenc", "rawvideo", "copy_video", "no_video")
+VCODECS = ("h264", "h264_nvenc", "h264_qsv", "h264_amf",
+           "h265", "h265_nvenc", "h265_qsv", "h265_amf",
+           "av1_svt", "av1_rav1e", "av1_nvenc",
+           "rawvideo", "copy_video", "no_video")
 ACODECS = ("aac", "mp3", "opus", "flac", "pcm", "copy_audio", "no_audio", "empty_audio")
+
+# Which keyword each codec's builder accepts (io/ffmpeg.py codec functions);
+# flags outside a codec's surface are rejected loudly instead of silently
+# dropped (reference exposes the full per-codec option surface as chainable
+# subcommand flags, ffmpeg.py:954-1006)
+VCODEC_OPTIONS = {
+    "h264": ("crf", "preset", "tune", "profile"),
+    "h265": ("crf", "preset"),
+    "h264_nvenc": ("cq", "preset", "tune"),
+    "h265_nvenc": ("cq", "preset", "tune"),
+    "h264_qsv": ("crf", "preset"),
+    "h265_qsv": ("crf", "preset"),
+    "h264_amf": ("crf", "preset"),
+    "h265_amf": ("crf", "preset"),
+    "av1_svt": ("crf", "preset"),
+    "av1_rav1e": ("crf", "preset"),
+    "av1_nvenc": ("cq", "preset"),
+}
+ACODEC_OPTIONS = {"aac": ("bitrate",), "mp3": ("bitrate",), "opus": ("bitrate",)}
 
 
 def _add_main_flags(parser: argparse.ArgumentParser) -> None:
@@ -92,8 +113,7 @@ def launch(scenes: Sequence[type], argv: Optional[list[str]] = None):
 
     command = argv.pop(0) if argv and not argv[0].startswith("-") else "main"
     if command != "main":
-        logger.error(f"Unknown command {command!r} (only 'main' is supported)")
-        return None
+        return _run_module_command(names[scene_name], command, argv)
 
     parser = argparse.ArgumentParser(
         prog=f"{scene_name} main",
@@ -105,26 +125,73 @@ def launch(scenes: Sequence[type], argv: Optional[list[str]] = None):
     parser.add_argument("--vcodec", choices=VCODECS, default=None,
                         help="Video codec (reference's chainable codec commands)")
     parser.add_argument("--acodec", choices=ACODECS, default=None)
-    parser.add_argument("--crf", type=int, default=None, help="x264/x265 quality")
+    parser.add_argument("--crf", type=int, default=None, help="Constant rate factor")
+    parser.add_argument("--cq", type=int, default=None, help="NVENC constant quality")
     parser.add_argument("--preset", type=str, default=None, help="Encoder preset")
+    parser.add_argument("--tune", type=str, default=None, help="Encoder tune")
+    parser.add_argument("--profile", type=str, default=None, help="H.264 profile")
+    parser.add_argument("--bitrate", type=str, default=None, help="Audio bitrate (e.g. 192k)")
     options = vars(parser.parse_args(argv))
 
     vcodec = options.pop("vcodec")
     acodec = options.pop("acodec")
-    crf = options.pop("crf")
-    preset = options.pop("preset")
+    codec_flags = {key: options.pop(key)
+                   for key in ("crf", "cq", "preset", "tune", "profile", "bitrate")}
 
     scene = names[scene_name]()
     if vcodec:
+        allowed = VCODEC_OPTIONS.get(vcodec, ())
         extra = {}
-        if crf is not None and vcodec in ("h264", "h265"):
-            extra["crf"] = crf
-        if preset is not None:
-            extra["preset"] = preset
+        for key in ("crf", "cq", "preset", "tune", "profile"):
+            if codec_flags[key] is None:
+                continue
+            if key not in allowed:
+                logger.error(f"--{key} is not an option of --vcodec {vcodec} "
+                             f"(accepts: {', '.join(allowed) or 'none'})")
+                return None
+            extra[key] = codec_flags[key]
         getattr(scene.ffmpeg, vcodec)(**extra)
     if acodec:
-        getattr(scene.ffmpeg, acodec)()
+        extra = {}
+        if codec_flags["bitrate"] is not None:
+            if "bitrate" not in ACODEC_OPTIONS.get(acodec, ()):
+                logger.error(f"--bitrate is not an option of --acodec {acodec}")
+                return None
+            extra["bitrate"] = codec_flags["bitrate"]
+        getattr(scene.ffmpeg, acodec)(**extra)
     return scene.main(**options)
+
+
+def _run_module_command(scene_class: type, command: str,
+                        argv: list[str]):
+    """Dispatch a module-registered command (module.register_command):
+    `<Scene> <command> [--flags]`. The scene initializes first so build()
+    hooks register their commands, exactly when the reference's cyclopts
+    app would collect them (reference scene.py:208-215)."""
+    scene = scene_class()
+    scene.initialize()
+    if command not in scene._commands:
+        known = ", ".join(sorted(scene._commands)) or "(none)"
+        logger.error(f"Unknown command {command!r}; module commands: {known}")
+        return None
+    fn = scene._commands[command]
+    parser = argparse.ArgumentParser(prog=command, description=inspect.getdoc(fn))
+    for name, parameter in inspect.signature(fn).parameters.items():
+        if name == "self":
+            continue
+        default = parameter.default
+        required = default is inspect.Parameter.empty
+        annotation = parameter.annotation
+        kind = annotation if annotation in (int, float, str) else (
+            type(default) if not required and default is not None else str)
+        if kind is bool or isinstance(default, bool):
+            parser.add_argument(f"--{name.replace('_', '-')}",
+                                action="store_true", default=bool(default))
+        else:
+            parser.add_argument(f"--{name.replace('_', '-')}", dest=name,
+                                type=kind, default=None if required else default,
+                                required=required)
+    return fn(**vars(parser.parse_args(argv)))
 
 
 def main(argv: Optional[list[str]] = None):

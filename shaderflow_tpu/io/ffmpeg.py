@@ -141,6 +141,21 @@ def AV1_RAV1E(speed: int = 7, qp: int = 80, **extra) -> VideoCodec:
 def AV1_NVENC(preset: str = "p5", cq: int = 30, **extra) -> VideoCodec:
     return VideoCodec("av1_nvenc", dict(preset=preset, cq=cq, **extra))
 
+def H264_QSV(preset: str = "slow", crf: int = 25, **extra) -> VideoCodec:
+    """Intel QuickSync stub (reference ffmpeg.py QSV classes): command
+    assembly only — selection fails at runtime without the hardware."""
+    return VideoCodec("h264_qsv", dict(preset=preset, global_quality=crf, **extra))
+
+def H265_QSV(preset: str = "slow", crf: int = 25, **extra) -> VideoCodec:
+    return VideoCodec("hevc_qsv", dict(preset=preset, global_quality=crf, **extra))
+
+def H264_AMF(preset: str = "quality", crf: int = 25, **extra) -> VideoCodec:
+    """AMD AMF stub (reference ffmpeg.py AMF classes)."""
+    return VideoCodec("h264_amf", dict(quality=preset, qp_i=crf, qp_p=crf, **extra))
+
+def H265_AMF(preset: str = "quality", crf: int = 25, **extra) -> VideoCodec:
+    return VideoCodec("hevc_amf", dict(quality=preset, qp_i=crf, qp_p=crf, **extra))
+
 def Rawvideo() -> VideoCodec:
     return VideoCodec("rawvideo")
 
@@ -331,8 +346,12 @@ class FFmpeg:
 
     def h264(self, **kw) -> "FFmpeg": self.vcodec = H264(**kw); return self
     def h264_nvenc(self, **kw) -> "FFmpeg": self.vcodec = H264_NVENC(**kw); return self
+    def h264_qsv(self, **kw) -> "FFmpeg": self.vcodec = H264_QSV(**kw); return self
+    def h264_amf(self, **kw) -> "FFmpeg": self.vcodec = H264_AMF(**kw); return self
     def h265(self, **kw) -> "FFmpeg": self.vcodec = H265(**kw); return self
     def h265_nvenc(self, **kw) -> "FFmpeg": self.vcodec = H265_NVENC(**kw); return self
+    def h265_qsv(self, **kw) -> "FFmpeg": self.vcodec = H265_QSV(**kw); return self
+    def h265_amf(self, **kw) -> "FFmpeg": self.vcodec = H265_AMF(**kw); return self
     def av1_svt(self, **kw) -> "FFmpeg": self.vcodec = AV1_SVT(**kw); return self
     def av1_rav1e(self, **kw) -> "FFmpeg": self.vcodec = AV1_RAV1E(**kw); return self
     def av1_nvenc(self, **kw) -> "FFmpeg": self.vcodec = AV1_NVENC(**kw); return self

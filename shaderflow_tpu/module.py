@@ -87,7 +87,14 @@ class ShaderModule:
         """Mutate the export FFmpeg command (e.g. add an audio input)."""
 
     def commands(self) -> None:
-        """Register CLI commands on the scene launcher."""
+        """Register CLI commands on the scene launcher (reference
+        module.py:108-111): override and call self.register_command(fn)."""
+
+    def register_command(self, fn, name: Optional[str] = None) -> None:
+        """Expose `fn` as `<Scene> <command>` on the CLI (cli.py dispatches
+        non-'main' commands here). Keyword parameters become flags."""
+        command = (name or fn.__name__).replace("_", "-")
+        self.scene._commands[command] = fn
 
     def destroy(self) -> None:
         """Release resources; called when the scene is destroyed."""

@@ -25,8 +25,20 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _interior_mask(cx: Array, cy: Array) -> Array:
+    """Main-cardioid + period-2-bulb membership. Points inside NEVER escape
+    (mathematically), so the loop would run to max_iter for them — skipping
+    the iteration is exact: q(q + (x - 1/4)) <= y^2/4 (cardioid),
+    (x+1)^2 + y^2 <= 1/16 (bulb). Valid only for z0 == c (Mandelbrot)."""
+    xq = cx - 0.25
+    q = xq * xq + cy * cy
+    cardioid = q * (q + xq) <= 0.25 * (cy * cy)
+    bulb = (cx + 1.0) * (cx + 1.0) + cy * cy <= 0.0625
+    return cardioid | bulb
+
+
 def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
-                max_iter: int, radius: float) -> Array:
+                max_iter: int, radius: float, interior: Array = None) -> Array:
     r2 = radius * radius
 
     def body(_, state):
@@ -41,21 +53,30 @@ def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
 
     iters = jnp.zeros(zx0.shape, jnp.int32)
     escaped = zx0 * zx0 + zy0 * zy0 > r2
+    if interior is not None:
+        escaped = escaped | interior
     _, _, iters, _ = jax.lax.fori_loop(0, max_iter, body, (zx0, zy0, iters, escaped))
+    if interior is not None:
+        iters = jnp.where(interior, max_iter, iters)
     return iters
 
 
 def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                    max_iter: int, radius: float,
                    tile: tuple[int, int] = (256, 256),
-                   unroll: int = 8) -> Array:
+                   unroll: int = 8, interior: Array = None) -> Array:
     r2 = radius * radius
     height, width = zx0.shape
     th = min(tile[0], height)
     tw = min(tile[1], width)
     unroll = max(1, int(unroll))
 
-    def kernel(zx_ref, zy_ref, cx_ref, cy_ref, out_ref):
+    def kernel(*refs):
+        if interior is not None:
+            zx_ref, zy_ref, cx_ref, cy_ref, int_ref, out_ref = refs
+        else:
+            zx_ref, zy_ref, cx_ref, cy_ref, out_ref = refs
+            int_ref = None
         zx_t = zx_ref[:]
         zy_t = zy_ref[:]
         cx_t = cx_ref[:]
@@ -65,41 +86,56 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
         # The early-exit check is a cross-vector max reduction — running it
         # every iteration costs more than a handful of wasted masked steps,
         # so the body advances `unroll` iterations per check, each step
-        # gated on k+i < max_iter so total work stays bit-identical to the
-        # one-step-per-check form (and to the masked fori fallback).
+        # gated on k+i < max_iter so the ITERATION COUNTS stay bit-identical
+        # to the one-step-per-check form (and to the masked fori fallback).
+        #
+        # z itself advances UNGATED: an escaped pixel's orbit blowing up to
+        # inf/nan cannot corrupt the result — `active` is already 0 there
+        # (nan comparisons land on the inactive side), and only `iters` is
+        # observable. Dropping the two z freezes + recomputed squares cuts
+        # the per-iteration op count ~30%.
         def cond(state):
-            k, _, _, _, active = state
+            k, _, _, _, _, _, active = state
             return (k < max_iter) & (jnp.max(active) > 0.0)
 
         def body(state):
-            k, zx, zy, iters, active = state
+            k, zx, zy, x2, y2, iters, active = state
             for i in range(unroll):
-                nx = zx * zx - zy * zy + cx_t
-                ny = 2.0 * zx * zy + cy_t
-                live = (active > 0.5) & (k + i < max_iter)
-                # select, not a*(n-z) arithmetic: bit-exact parity with the
-                # masked fori_loop fallback (a + (n-a) reassociates)
-                zx = jnp.where(live, nx, zx)
-                zy = jnp.where(live, ny, zy)
-                iters = iters + jnp.where(live, 1.0, 0.0)
-                inside = jnp.where(zx * zx + zy * zy > r2, 0.0, 1.0)
-                active = jnp.where(live, active * inside, active)
-            return k + unroll, zx, zy, iters, active
+                live = active * jnp.where(k + i < max_iter, 1.0, 0.0)
+                iters = iters + live
+                ny = 2.0 * (zx * zy) + cy_t
+                zx = x2 - y2 + cx_t
+                zy = ny
+                x2 = zx * zx
+                y2 = zy * zy
+                inside = jnp.where(x2 + y2 > r2, 0.0, 1.0)
+                active = active * inside
+            return k + unroll, zx, zy, x2, y2, iters, active
 
-        active0 = jnp.where(zx_t * zx_t + zy_t * zy_t > r2, 0.0, 1.0)
+        x2_0 = zx_t * zx_t
+        y2_0 = zy_t * zy_t
+        active0 = jnp.where(x2_0 + y2_0 > r2, 0.0, 1.0)
+        if int_ref is not None:
+            active0 = active0 * (1.0 - int_ref[:])
         iters0 = jnp.zeros_like(zx_t)
-        _, _, _, iters, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), zx_t, zy_t, iters0, active0))
-        out_ref[:] = iters.astype(jnp.int32)
+        _, _, _, _, _, iters, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0))
+        iters = iters.astype(jnp.int32)
+        if int_ref is not None:
+            iters = jnp.where(int_ref[:] > 0.5, max_iter, iters)
+        out_ref[:] = iters
 
     block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    operands = [zx0, zy0, cx, cy]
+    if interior is not None:
+        operands.append(interior.astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
-        in_specs=[block, block, block, block],
+        in_specs=[block] * len(operands),
         out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         grid=(pl.cdiv(height, th), pl.cdiv(width, tw)),
-    )(zx0, zy0, cx, cy)
+    )(*operands)
 
 
 _PALLAS_OK: dict[str, bool] = {}
@@ -125,15 +161,21 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
     """Mandelbrot escape-time iteration count per pixel for c = (..., 2).
 
     Semantics match the reference loop (examples/fractals mandelbrot.frag):
-    break when |z| > radius, else z = z*z + c, starting from z = c.
+    break when |z| > radius, else z = z*z + c, starting from z = c. Pixels
+    inside the main cardioid / period-2 bulb are emitted as max_iter without
+    iterating (they mathematically never escape); this collapses the
+    per-tile escape time for every tile that overlaps the set's interior.
     """
     cx, cy = c[..., 0], c[..., 1]
-    return escape_iterations_z0(c, cx, cy, max_iter, radius)
+    return escape_iterations_z0(c, cx, cy, max_iter, radius,
+                                interior=_interior_mask(cx, cy))
 
 
-def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0) -> Array:
+def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,
+                         interior: Array = None) -> Array:
     """General escape iteration: per-pixel z0 (..., 2), c given per-pixel or
-    as (traced) scalars — the Julia-set form."""
+    as (traced) scalars — the Julia-set form (no interior shortcut: it is
+    only sound when z0 == c)."""
     zx0, zy0 = z0[..., 0], z0[..., 1]
     cx = jnp.broadcast_to(jnp.asarray(cx, jnp.float32), zx0.shape)
     cy = jnp.broadcast_to(jnp.asarray(cy, jnp.float32), zy0.shape)
@@ -147,5 +189,6 @@ def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0) 
         unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
         th, tw = (int(x) for x in tile.split("x"))
         return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius),
-                              tile=(th, tw), unroll=unroll)
-    return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius))
+                              tile=(th, tw), unroll=unroll, interior=interior)
+    return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius),
+                       interior=interior)

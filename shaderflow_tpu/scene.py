@@ -137,6 +137,8 @@ class ShaderScene(ShaderModule):
         self.vsync = None
         self.ffmpeg = FFmpeg()
         self.engine: Optional[RenderEngine] = None
+        # Module-registered CLI commands (module.register_command)
+        self._commands: dict[str, Any] = {}
 
         self.frametimer: Optional[ShaderFrametimer] = None
         self.keyboard: Optional[ShaderKeyboard] = None

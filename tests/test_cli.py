@@ -1,0 +1,65 @@
+"""CLI surface: codec flags with per-codec option validation, and
+module-registered commands (reference ffmpeg.py:954-1006, module.py:108-111)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO / "examples" / "basic"))
+sys.path.insert(0, str(REPO / "examples"))
+
+from shaderflow_tpu.cli import launch
+from shaderflow_tpu.scene import ShaderScene
+
+
+class TinyScene(ShaderScene):
+    """Minimal scene for CLI dispatch tests."""
+
+
+def test_vcodec_flags_apply(tmp_path):
+    out = tmp_path / "o.rgb"
+    launch([TinyScene], ["TinyScene", "main", "-o", str(out),
+                         "--vcodec", "h265", "--crf", "22",
+                         "-w", "64", "--height", "36", "-f", "5", "-t", "0.4"])
+    assert out.exists() and out.stat().st_size == 2 * 64 * 36 * 3
+
+
+def test_vcodec_option_validation(tmp_path, caplog):
+    # --cq belongs to NVENC codecs, not x264 -> loud rejection, no render
+    out = tmp_path / "o.rgb"
+    result = launch([TinyScene], ["TinyScene", "main", "-o", str(out),
+                                  "--vcodec", "h264", "--cq", "20"])
+    assert result is None
+    assert not out.exists()
+
+
+def test_qsv_amf_stub_codecs():
+    from shaderflow_tpu.io.ffmpeg import FFmpeg
+    ff = FFmpeg()
+    ff.h265_qsv(crf=30)
+    assert ff.vcodec.codec == "hevc_qsv"
+    ff.h264_amf()
+    assert ff.vcodec.codec == "h264_amf"
+
+
+def test_module_command_dispatch(capsys):
+    import piano_roll
+    launch([piano_roll.PianoRoll], ["PianoRoll", "midi-stats"])
+    captured = capsys.readouterr()
+    assert "notes:" in captured.out
+    assert "tempo changes:" in captured.out
+
+
+def test_audio_device_commands(capsys):
+    import demo
+    launch([demo.Visualizer], ["Visualizer", "print-recorders"])
+    # No sound server in CI: the command must still dispatch and report
+    captured = capsys.readouterr()
+    assert "recorder" in captured.out or "soundcard unavailable" in captured.out
+
+
+def test_unknown_module_command(caplog):
+    result = launch([TinyScene], ["TinyScene", "bogus-command"])
+    assert result is None

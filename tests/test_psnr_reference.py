@@ -1,0 +1,94 @@
+"""PSNR parity vs the GL-exact NumPy oracle (tools/gl_oracle.py).
+
+The BASELINE.json acceptance bar: engine output within PSNR >= 40 dB of the
+OpenGL reference renderer. The oracle is an independent float32
+transcription of the reference GLSL (see gl_oracle's docstring for the
+file:line map); these tests render the graded configs through the real
+engine pipeline and assert the bar with margin.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO / "examples" / "basic"))
+sys.path.insert(0, str(REPO / "examples" / "fractals"))
+sys.path.insert(0, str(REPO / "examples"))
+sys.path.insert(0, str(REPO / "tools"))
+
+import gl_oracle
+
+
+def engine_frames_and_uniforms(scene, frames, **kwargs):
+    """Render `frames` frames through the engine; return (frames_u8,
+    per-frame uniform dicts incl. statics)."""
+    scene._setup_run(fps=10, time=frames / 10, freewheel=True, **kwargs)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(frames):
+        scene.next(dt=scene.frametime)
+    uniforms = []
+    for snapshot in engine._frame_uniforms:
+        merged = dict(engine._statics)
+        merged.update(snapshot)
+        uniforms.append(merged)
+    out = np.asarray(engine.flush(frames))
+    return out, uniforms
+
+
+@pytest.mark.parametrize("ssaa,subsample", [(1.0, 1), (2.0, 2)])
+def test_default_scene_psnr(ssaa, subsample):
+    """Graded config 1: the default (welcome) shader, 512x288."""
+    import demo
+
+    scene = demo.Basic()
+    width, height = 512, 288
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 3, width=width, height=height, ssaa=ssaa, subsample=subsample)
+
+    for index, uniform in enumerate(uniforms):
+        oracle = gl_oracle.render_scene(
+            gl_oracle.default_fragment, uniform,
+            *scene.render_resolution,
+            width, height, subsample, scene.aspect_ratio)
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
+
+
+def test_mandelbrot_psnr():
+    """Graded config 3: Mandelbrot escape-time (Pallas kernel on TPU,
+    XLA loop on CPU) vs the oracle's python escape loop."""
+    import fractals
+
+    scene = fractals.Mandelbrot()
+    width, height = 320, 180
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 2, width=width, height=height, ssaa=2.0, subsample=2, quality=5)
+
+    for index, uniform in enumerate(uniforms):
+        merged = dict(uniform)
+        merged.setdefault("iQuality", merged.get("iQualityS", 0.05))
+        oracle = gl_oracle.render_scene(
+            gl_oracle.mandelbrot_fragment, merged,
+            *scene.render_resolution,
+            width, height, 2, scene.aspect_ratio)
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
+
+
+def test_oracle_final_pass_matches_engine_downsample():
+    """The oracle's final.glsl tap loop and the engine's fused/pooled
+    downsample agree on synthetic data (exact-pooling regime)."""
+    from shaderflow_tpu.ops.downsample import final_pass as engine_final
+
+    rng = np.random.default_rng(3)
+    render = rng.random((72, 128, 3), np.float32)
+    ours = np.asarray(engine_final(render, 36, 64, 2))
+    # Oracle renders row-0-bottom; feed it flipped input, flip its output
+    oracle = gl_oracle.final_pass(render[::-1], 64, 36, 2)[::-1]
+    diff = np.abs(ours.astype(np.int16) - oracle.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
