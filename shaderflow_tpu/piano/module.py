@@ -66,6 +66,7 @@ class ShaderPiano(ShaderModule):
             [[None] * MAX_CHANNELS for _ in range(MAX_NOTE)]
         self.fluidsynth: Any = None
         self.soundfont: Any = None
+        self.soundfont_file: Any = None  # path to a .sf2 to auto-load live
         super().__init__(scene=scene, name=name, **kwargs)
 
     def build(self) -> None:
@@ -151,6 +152,16 @@ class ShaderPiano(ShaderModule):
 
         for note in self.notes:
             note.velocity = remap(note.velocity)
+
+    def setup(self) -> None:
+        self._frame_index = 0
+        # Live synthesis boots with realtime sessions only (reference
+        # piano/module.py:291-328 gates on scene.realtime); fluid_start is a
+        # no-op warning when pyfluidsynth is absent.
+        if self.scene.realtime and not self.scene.freewheel and self.fluidsynth is None:
+            self.fluid_start()
+            if self.fluidsynth is not None and self.soundfont_file is not None:
+                self.fluid_load(self.soundfont_file)
 
     def commands(self) -> None:
         self.register_command(self.midi_stats, "midi-stats")
