@@ -405,16 +405,6 @@ def visualizer_frag(sf):
         gy = tp.gluv_y
         dark = (jnp.where(1.0 - gy < tp.col("wave0"), 0.8, 1.0)
                 * jnp.where(1.0 + gy < tp.col("wave1"), 0.8, 1.0))
-        import os as _os
-        stage = _os.environ.get("VIZ_TAIL_STAGE")
-        if stage == "dark":
-            return [dark * 0.5] * 3
-        if stage == "w1":
-            return [tp.col("wave1") * 2.0] * 3
-        if stage == "gy":
-            return [(1.0 + gy) * 0.5] * 3
-        if stage == "color":
-            return list(rgb)
         return [c * dark for c in rgb]
 
     return sf.tail(

@@ -273,6 +273,11 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
             viewport=(self.offset, 0, 1, self.spectrogram_bins),
         )
 
+    def ui(self):
+        yield (f"{self.spectrogram_bins} bins  fft 2^{self.fft_n}  "
+               f"{self.minimum_frequency:.0f}-{self.maximum_frequency:.0f} Hz")
+        yield f"device sequence: {self.texture.sequence is not None}"
+
     def pipeline(self):
         yield Uniform("int", f"{self.name}Length", self.length_samples)
         yield Uniform("int", f"{self.name}Bins", self.spectrogram_bins)

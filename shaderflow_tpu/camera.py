@@ -81,6 +81,14 @@ class CameraMode(Enum):
 class ShaderCamera(ShaderModule):
     name: str = "iCamera"
 
+    def ui(self):
+        yield f"mode {self.mode.name}  projection {self.projection.name}"
+        yield (f"position ({self.position.value[0]:+.2f}, "
+               f"{self.position.value[1]:+.2f}, {self.position.value[2]:+.2f})")
+        yield f"zoom {float(self.zoom.value):.3f}  iso {float(self.isometric.value):.2f}"
+        yield (f"orbital {float(self.orbital.value):.2f}  "
+               f"dolly {float(self.dolly.value):.2f}")
+
     def __init__(self, scene=None, name: str = "iCamera",
                  mode=CameraMode.Camera2D, projection=CameraProjection.Perspective, **kwargs):
         self.mode = CameraMode(mode)

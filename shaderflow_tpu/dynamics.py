@@ -63,6 +63,12 @@ class ShaderDynamics(ShaderModule, DynamicNumber):
             return f"vec{shape[0]}"
         return None
 
+    def ui(self):
+        import numpy as np
+        value = np.asarray(self.value).reshape(-1)
+        yield f"f={self.frequency:.2f}  z={self.zeta:.2f}  r={self.response:.2f}"
+        yield "value " + " ".join(f"{v:+.3f}" for v in value[:4])
+
     def pipeline(self) -> Iterable[ShaderVariable]:
         kind = self.type
         if not kind:

@@ -70,3 +70,9 @@ class ShaderFrametimer(ShaderModule):
     @property
     def framerate_minimum(self) -> float:
         return self._finite(1.0 / (self.frametime_maximum + 1e-9))
+
+    def ui(self):
+        yield (f"fps avg {self.framerate_average():6.1f}  "
+               f"min {self.framerate_minimum:6.1f}  max {self.framerate_maximum:6.1f}")
+        yield (f"dt avg {1000 * self.frametime_average():6.2f} ms  "
+               f"max {1000 * self.frametime_maximum:6.2f} ms")

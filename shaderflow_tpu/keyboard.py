@@ -29,6 +29,8 @@ class _Keys:
     NUMBER_0, NUMBER_1, NUMBER_2, NUMBER_3, NUMBER_4 = (ord(c) for c in "01234")
     NUMBER_5, NUMBER_6, NUMBER_7, NUMBER_8, NUMBER_9 = (ord(c) for c in "56789")
     SPACE = ord(" ")
+    BRACKET_LEFT = ord("[")
+    BRACKET_RIGHT = ord("]")
     TAB = 9
     ESCAPE = 27
     ENTER = 13

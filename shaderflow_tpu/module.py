@@ -145,5 +145,9 @@ class ShaderModule:
 
     # -- optional UI hook (realtime preview) ---------------------------------
 
-    def ui(self) -> None:
-        """Draw an interactive panel for this module (realtime mode only)."""
+    def ui(self) -> Iterable[str]:
+        """Yield panel lines for this module's interactive debug panel
+        (realtime preview, TAB toggles the HUD, [ and ] cycle modules) —
+        the headless equivalent of the reference's per-module imgui __ui__
+        panels (reference scene.py:856-932, module.py:156-166)."""
+        return []

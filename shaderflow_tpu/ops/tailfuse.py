@@ -437,8 +437,18 @@ def fused_tail_final(
                       render_height, render_width, aspect)
         result = fn(ctx)
         pool_lr = _pool_matrices(th, tw, s) if s > 1 else None
+        # Partial edge blocks read PAST the input arrays (pallas pads input
+        # blocks with whatever memory follows — possibly inf/nan bit
+        # patterns). The pooling matmul would spread a nan across the whole
+        # block through 0*nan, so zero the out-of-range lanes first.
+        partial = (out_height % th != 0) or (out_width % tw != 0)
+        valid = None
+        if s > 1 and partial:
+            valid = (row_index < render_height) & (col_index < render_width)
         for out_ref, plane in zip(out_refs, result):
             plane = jnp.broadcast_to(jnp.asarray(plane, jnp.float32), (ths, tws))
+            if valid is not None:
+                plane = jnp.where(valid, plane, 0.0)
             out_ref[...] = _quantize_u8(_pool(plane, s, pool_lr))
 
     out_shape = [jax.ShapeDtypeStruct((out_height, out_width), jnp.uint8)] * 3

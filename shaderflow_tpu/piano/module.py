@@ -326,6 +326,13 @@ class ShaderPiano(ShaderModule):
         self.roll_texture.write(data=roll)
         self.channel_texture.write(data=channels.astype(np.float32))
 
+    def ui(self):
+        yield (f"notes {sum(1 for _ in self.notes)}  "
+               f"range {self.global_minimum_note}-{self.global_maximum_note}")
+        rng = self.note_range_dynamics.value
+        yield f"visible {rng[0]:.1f}-{rng[1]:.1f}  roll {self.roll_time:.1f}s"
+        yield f"synth: {'live' if self.fluidsynth else 'off'}"
+
     def pipeline(self) -> Iterable[ShaderVariable]:
         yield Uniform("int", f"{self.name}GlobalMin", self.global_minimum_note)
         yield Uniform("int", f"{self.name}GlobalMax", self.global_maximum_note)

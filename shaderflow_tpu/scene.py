@@ -139,6 +139,8 @@ class ShaderScene(ShaderModule):
         self.engine: Optional[RenderEngine] = None
         # Module-registered CLI commands (module.register_command)
         self._commands: dict[str, Any] = {}
+        # HUD panel navigation ([ / ] select the expanded module panel)
+        self._ui_index: int = 0
 
         self.frametimer: Optional[ShaderFrametimer] = None
         self.keyboard: Optional[ShaderKeyboard] = None
@@ -561,6 +563,7 @@ class ShaderScene(ShaderModule):
             precise=True,
         )
         self._preview = preview
+        self._pending_preview = None
         while self.scheduler.next() is not None:
             if self.quit:
                 break
@@ -576,7 +579,17 @@ class ShaderScene(ShaderModule):
             return
         self.engine.begin_batch()
         self.next(dt=dt)
-        frames = self.engine.flush(1)
+        dispatched = self.engine.flush(1)
+        # Depth-1 pipelining: display frame k-1 while the device renders
+        # frame k. One frame of visual latency buys ~2x throughput on
+        # remote-attached chips, where the ~60 ms dispatch+completion
+        # round-trip otherwise serializes with the host work (the reference
+        # double-buffers through the GL swapchain the same way,
+        # scene.py:461-462).
+        frames = getattr(self, "_pending_preview", None)
+        self._pending_preview = dispatched
+        if frames is None:
+            return
         if getattr(self, "_preview", None) is not None:
             cv2 = self._preview
             frame = np.asarray(frames[0])
@@ -670,11 +683,20 @@ class ShaderScene(ShaderModule):
             f"fps avg {self.frametimer.framerate_average():6.1f}  "
             f"min {self.frametimer.framerate_minimum:6.1f}  target {self.fps:.0f}",
         ]
-        for module in self.modules:
-            if module is self:
-                continue
-            lines.append(f"  {module.uuid:>2} {type(module).__name__}")
-        for index, text in enumerate(lines[:18]):
+        # Module list with the selected panel expanded ([ and ] navigate)
+        others = [m for m in self.modules if m is not self]
+        selected = others[self._ui_index % len(others)] if others else None
+        for module in others:
+            marker = ">" if module is selected else " "
+            lines.append(f" {marker}{module.uuid:>2} {type(module).__name__}"
+                         + (f" ({module.name})" if module.name else ""))
+            if module is selected:
+                try:
+                    for panel_line in module.ui() or []:
+                        lines.append(f"      {panel_line}")
+                except Exception as error:
+                    lines.append(f"      ui() error: {error}")
+        for index, text in enumerate(lines[:28]):
             cv2.putText(frame, text, (8, 18 + 16 * index),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.42, (0, 0, 0), 2, cv2.LINE_AA)
             cv2.putText(frame, text, (8, 18 + 16 * index),
@@ -701,6 +723,10 @@ class ShaderScene(ShaderModule):
                 self.relay(ShaderMessage.Shader.Compile)
             elif message.key == ShaderKeyboard.Keys.TAB:
                 self.render_ui = not self.render_ui
+            elif message.key == ShaderKeyboard.Keys.BRACKET_LEFT:
+                self._ui_index -= 1
+            elif message.key == ShaderKeyboard.Keys.BRACKET_RIGHT:
+                self._ui_index += 1
             elif message.key == ShaderKeyboard.Keys.F1:
                 logger.info("(F1 ) Toggling exclusive mode")
                 self.exclusive = not self.exclusive
