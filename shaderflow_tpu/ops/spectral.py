@@ -45,23 +45,30 @@ def no_window(size: int) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 # Magnitude / volume mappings (audio/spectrogram.py:20-41)
 
+def _xp(x):
+    """numpy in -> numpy out: the realtime per-frame CPU path must not
+    bounce through the device (eager complex ops are UNIMPLEMENTED on some
+    remote TPU backends); jax in -> jax out for the jitted batch path."""
+    return np if isinstance(x, np.ndarray) else jnp
+
 def magnitude_amplitude(x: Array) -> Array:
-    return jnp.abs(x)
+    return _xp(x).abs(x)
 
 def magnitude_power(x: Array) -> Array:
-    return (x * jnp.conjugate(x)).real
+    xp = _xp(x)
+    return (x * xp.conjugate(x)).real
 
 def volume_dbfs(x: Array) -> Array:
-    return 10.0 * jnp.log10(x)
+    return 10.0 * _xp(x).log10(x)
 
 def volume_sqrt(x: Array) -> Array:
-    return jnp.sqrt(x)
+    return _xp(x).sqrt(x)
 
 def volume_linear(x: Array) -> Array:
     return x
 
 def volume_dbfs_tremx(x: Array) -> Array:
-    return 10.0 * (jnp.log10(x + 0.1) + 1.0) / 1.0414
+    return 10.0 * (_xp(x).log10(x + 0.1) + 1.0) / 1.0414
 
 
 # --------------------------------------------------------------------------- #
@@ -155,13 +162,16 @@ def spectrogram_batch(
 # Waveform bar reduction (audio/waveform.py:14-22)
 
 def waveform_average(x: Array) -> Array:
-    return jnp.sqrt(jnp.mean(jnp.abs(x), axis=-1))
+    xp = _xp(x)
+    return xp.sqrt(xp.mean(xp.abs(x), axis=-1))
 
 def waveform_rms(x: Array) -> Array:
-    return jnp.sqrt(jnp.sqrt(jnp.mean(jnp.square(x), axis=-1)) * (2.0 ** 0.5))
+    xp = _xp(x)
+    return xp.sqrt(xp.sqrt(xp.mean(xp.square(x), axis=-1)) * (2.0 ** 0.5))
 
 def waveform_std(x: Array) -> Array:
-    return jnp.sqrt(jnp.std(x, axis=-1))
+    xp = _xp(x)
+    return xp.sqrt(xp.std(x, axis=-1))
 
 
 def waveform_batch(
