@@ -39,6 +39,7 @@ if TYPE_CHECKING:
 class OutputType(str, Enum):
     PATH = "file"
     PIPE = "pipe"
+    TCP = "tcp"
     NULL = "null"
 
 
@@ -150,6 +151,24 @@ class ExportingHelper:
             else:
                 logger.warn("No ffmpeg binary: pipe output returns raw rgb24 bytes")
                 self.sink = PipeSink()
+            return self.sink
+
+        if isinstance(output, str) and output.startswith("tcp://"):
+            # Reference exporting.py:24-27 TCP output: with an encoder the
+            # FFmpeg process connects to the URL (mpegts); binary-free, we
+            # stream raw rgb24 over the socket ourselves.
+            self.type = OutputType.TCP
+            if FFmpeg.available():
+                self.ffmpeg_clean()
+                self.ffmpeg_sizes(width, height)
+                self.ffmpeg.output(path=output, options={"f": "mpegts"})
+                self._default_codecs()
+                self.ffhook()
+                self.sink = FFmpegSink(self.ffmpeg, frame_bytes, buffers, turbo)
+            else:
+                from shaderflow_tpu.io.sinks import TCPSink
+                logger.warn("No ffmpeg binary: streaming raw rgb24 over TCP")
+                self.sink = TCPSink(output)
             return self.sink
 
         path = Path(output).expanduser().absolute()

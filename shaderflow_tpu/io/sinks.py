@@ -183,3 +183,31 @@ class PipeSink(VideoSink):
 
     def finish(self) -> bytes:
         return b"".join(self.chunks)
+
+
+class TCPSink(VideoSink):
+    """Stream raw rgb24 frames to a TCP endpoint (output='tcp://host:port')
+    — the binary-free half of the reference's TCP output type
+    (exporting.py:24-27); with an ffmpeg binary the encoder itself connects
+    to the URL instead (mpegts mux)."""
+
+    def __init__(self, url: str):
+        import socket
+        from urllib.parse import urlparse
+        parsed = urlparse(url)
+        self.url = url
+        self.sock = socket.create_connection(
+            (parsed.hostname, parsed.port), timeout=10.0)
+        self.frames = 0
+
+    def write_batch(self, frames: np.ndarray) -> None:
+        self.sock.sendall(np.ascontiguousarray(frames).tobytes())
+        self.frames += int(frames.shape[0])
+
+    def finish(self) -> str:
+        try:
+            self.sock.shutdown(1)  # SHUT_WR: flush, signal EOF to the peer
+        except OSError:
+            pass
+        self.sock.close()
+        return self.url

@@ -87,3 +87,38 @@ def test_pipe_output_returns_bytes(tmp_path):
     result = scene.main(width=16, height=8, fps=10, time=0.2, output="pipe")
     assert isinstance(result, bytes)
     assert len(result) == 2 * 16 * 8 * 3
+
+
+def test_tcp_sink_streams_raw_frames():
+    """output='tcp://host:port' without an ffmpeg binary streams raw rgb24
+    (reference exporting.py:24-27 TCP output type)."""
+    import socket
+    import threading
+
+    import numpy as np
+    from shaderflow_tpu.scene import ShaderScene
+
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    received = bytearray()
+
+    def accept():
+        conn, _ = server.accept()
+        while True:
+            chunk = conn.recv(1 << 16)
+            if not chunk:
+                break
+            received.extend(chunk)
+        conn.close()
+
+    thread = threading.Thread(target=accept, daemon=True)
+    thread.start()
+
+    scene = ShaderScene()
+    scene.main(width=64, height=36, fps=10, time=0.3,
+               output=f"tcp://127.0.0.1:{port}")
+    thread.join(timeout=10)
+    server.close()
+    assert len(received) == 3 * 64 * 36 * 3  # 3 frames of rgb24
