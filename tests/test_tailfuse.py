@@ -96,3 +96,35 @@ def test_run_tail_final_fallback_on_cpu():
     rgb = tailfuse.eval_reference(spec, out_h * s, out_w * s, 1.0)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(final_pass(rgb, out_h, out_w, s)))
+
+
+def test_visualizer_fused_interpret_matches_fallback(monkeypatch):
+    """End-to-end: the real Visualizer scene through the FUSED kernel
+    (interpret mode) vs the reference fallback — guards the engine's
+    TailSpec plumbing and the kernel's operand/BlockSpec construction
+    without TPU hardware."""
+    import sys
+    from pathlib import Path
+    REPO = Path(__file__).parent.parent
+    sys.path.insert(0, str(REPO / "examples" / "basic"))
+    sys.path.insert(0, str(REPO / "examples"))
+    import demo
+
+    def render(fused):
+        if fused:
+            monkeypatch.setenv("SHADERFLOW_TAILFUSE_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("SHADERFLOW_TAILFUSE_INTERPRET", raising=False)
+        scene = demo.Visualizer()
+        scene._setup_run(width=128, height=72, fps=10, time=0.2,
+                         ssaa=2.0, freewheel=True)
+        scene.engine.begin_batch()
+        for _ in range(2):
+            scene.next(dt=scene.frametime)
+        return np.asarray(scene.engine.flush(2))
+
+    fused = render(True)
+    reference = render(False)
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
