@@ -331,7 +331,8 @@ def visualizer_frag(sf):
     # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d_select)
     from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select
     bar_raw = lookup_nearest_1d_select(
-        sf.tex("iSpectrogram"), circle, channel_where=music_uv[..., 1] < 0)
+        sf.tex("iSpectrogram"), circle, channel_where=music_uv[..., 1] < 0,
+        out_dtype=jnp.bfloat16)
 
     # Waveform on top and bottom: sampled at v=0 along x only — one
     # separable row instead of per-pixel gathers
@@ -410,7 +411,7 @@ def visualizer_frag(sf):
     return sf.tail(
         tail,
         color=color_planes,
-        bar=bar_raw.astype(jnp.bfloat16),
+        bar=bar_raw,
         camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y),
         oob=tailfuse.Col(cam_oob),
         wave0=tailfuse.Col(wave[:, 0]), wave1=tailfuse.Col(wave[:, 1]),

@@ -305,7 +305,7 @@ def lookup_nearest_1d_planes(tex: Sampler2D, v_field: Array,
 
 def lookup_nearest_1d_select(tex: Sampler2D, v_field: Array,
                              channel_where: Array = None, channel: int = 0,
-                             chunk: int = 16) -> Array:
+                             chunk: int = 16, out_dtype=None) -> Array:
     """Two-level per-pixel NEAREST table lookup returning ONE (H, W) plane.
 
     The one-hot matmul of lookup_nearest_1d pays bins compares per pixel per
@@ -339,9 +339,14 @@ def lookup_nearest_1d_select(tex: Sampler2D, v_field: Array,
                         flat_table.reshape(groups, chunk).astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)  # (..., chunk)
     # Lo-level as multiply+minor-dim reduce (one dot-epilogue fusion; per-k
-    # minor slices instead force the (..., chunk) intermediate into HBM)
+    # minor slices instead force the (..., chunk) intermediate into HBM).
+    # out_dtype=bf16 writes half the bytes of this full-field pass (values
+    # already round-tripped a bf16 table).
     onehot_lo = (lo[..., None] == jnp.arange(chunk)).astype(jnp.float32)
-    return jax.lax.optimization_barrier(jnp.sum(chunks * onehot_lo, axis=-1))
+    out = jnp.sum(chunks * onehot_lo, axis=-1)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return jax.lax.optimization_barrier(out)
 
 
 def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
