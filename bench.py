@@ -56,10 +56,11 @@ def main() -> None:
 
     scene = scene_class()
     # Warmup run: trace + compile + device warm caches. Resuming near the
-    # end renders only ~2 batches while keeping every array shape identical
-    # to the timed run (content duration included), so the timed run is a
-    # pure cache hit.
-    batch_frames = (batch or 32) * 2
+    # end renders only ~2 full batches PLUS the same partial final batch as
+    # the timed run (total_frames % batch), so every program variant the
+    # timed run needs — including the padded tail flush — is a cache hit.
+    total_frames = round(seconds * fps)
+    batch_frames = (batch or 32) * 2 + total_frames % (batch or 32)
     scene.main(time=seconds, start=max(0.0, seconds - batch_frames / fps), **common)
 
     start = time.monotonic()

@@ -289,7 +289,8 @@ def visualizer_frag(sf):
     u_line = ((2.0 * qx - 1.0) * aspect_scale + 1.0) / 2.0
     v_line = qy
     base_planes = sample_separable_planes(tex, u_line, v_line,
-                                          precision="bfloat16")[:3]
+                                          precision="bfloat16",
+                                          out_dtype=jnp.bfloat16)[:3]
 
     # Radial blur (8 directions x 10 walks) as one texture-space kernel,
     # computed on a half-resolution pyramid level (the taps feed a blur —
@@ -314,24 +315,29 @@ def visualizer_frag(sf):
     blurred = convolve2d(quarter, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
     blur_planes = sample_separable_planes(blur_tex, u_line, v_line,
-                                          precision="bfloat16")[:3]
-    inv = 1.0 / (quality * directions)
-    color_planes = tuple(
-        ((base.astype(jnp.float32) + blur.astype(jnp.float32)) * inv
-         ).astype(jnp.bfloat16)
-        for base, blur in zip(base_planes, blur_planes))
+                                          precision="bfloat16",
+                                          out_dtype=jnp.bfloat16)[:3]
+    color_inv = 1.0 / (quality * directions)
 
     # Music bar geometry the MXU lookup needs at full field (the rest of the
-    # bar math re-derives per tile inside the fused tail kernel below)
-    music_uv = rotate2d(uv, -PI / 2)
-    music_uv = music_uv * (1 - 0.4 * jnp.power(jnp.abs(sf.iAudioVolume), 0.5))
-    circle = jnp.abs(ops.atan1n(music_uv))
+    # bar math re-derives per tile inside the fused tail kernel below).
+    # music_uv = rotate2d(uv, -pi/2)*scale = (uv_y, -uv_x)*scale with
+    # scale > 0, and atan2(k*a, k*b) == atan2(a, b): the radial angle and
+    # the half-plane channel select need neither the scale nor a
+    # materialized (H, W, 2) music_uv — two broadcast LINES feed the whole
+    # lookup (the tail kernel re-derives r/my from the same lines).
+    uv_x_line = uv[0, :, 0]
+    uv_y_line = uv[:, 0, 1]
+    from shaderflow_tpu.ops import tailfuse
+    circle = jnp.abs(
+        tailfuse.atan2(-uv_x_line[None, :], uv_y_line[:, None]) / PI)
     # Nearest bin lookup indexed by the radial angle, channel chosen by the
     # bar's half-plane — one two-level MXU lookup for the whole bar field
     # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d_select)
     from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select
     bar_raw = lookup_nearest_1d_select(
-        sf.tex("iSpectrogram"), circle, channel_where=music_uv[..., 1] < 0,
+        sf.tex("iSpectrogram"), circle,
+        channel_where=(-uv_x_line[None, :] < 0),
         out_dtype=jnp.bfloat16)
 
     # Waveform on top and bottom: sampled at v=0 along x only — one
@@ -360,7 +366,10 @@ def visualizer_frag(sf):
             t = jnp.clip(x, 0.0, 1.0)
             return t * t * (3.0 - 2.0 * t)
 
-        rgb = list(tp.vec("color"))
+        # Base + radial-blur combine happens here (in VMEM) rather than as
+        # its own full-field XLA pass
+        rgb = [(base + blur) * color_inv
+               for base, blur in zip(tp.vec("base"), tp.vec("blur"))]
 
         # Blink on snare/kick (screen agluv radius)
         alen = jnp.sqrt(tp.agluv_x * tp.agluv_x + tp.agluv_y * tp.agluv_y)
@@ -410,7 +419,8 @@ def visualizer_frag(sf):
 
     return sf.tail(
         tail,
-        color=color_planes,
+        base=base_planes,
+        blur=blur_planes,
         bar=bar_raw,
         camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y),
         oob=tailfuse.Col(cam_oob),
