@@ -270,7 +270,7 @@ def visualizer_frag(sf):
     """
     from shaderflow_tpu.ops.sampling import (
         Sampler2D, convolve2d, sample_separable, sample_separable_planes,
-        splat_kernel)
+        sample_separable_planes_blocked, splat_kernel)
 
     cam = sf.camera
     uv = cam.gluv
@@ -288,9 +288,16 @@ def visualizer_frag(sf):
     aspect_scale = tex.height / tex.width
     u_line = ((2.0 * qx - 1.0) * aspect_scale + 1.0) / 2.0
     v_line = qy
-    base_planes = sample_separable_planes(tex, u_line, v_line,
-                                          precision="bfloat16",
-                                          out_dtype=jnp.bfloat16)[:3]
+    # Texels-per-pixel bound for the blocked sampler: both axes work out to
+    # z^2 * tex_h / render_h for this scene's axis-aligned map; z <= 0.93
+    # always (z = 0.92 + 0.01 sin - 0.02 vol, vol >= 0), bound with z <= 1.02
+    # for window margin. Positions stay well inside [0, n-1] (no REPEAT
+    # seam), the blocked contract.
+    render_h = uv.shape[0]
+    base_tpp = 1.02 ** 2 * tex.height / render_h
+    base_planes = sample_separable_planes_blocked(
+        tex, u_line, v_line, texels_per_px=(base_tpp, base_tpp),
+        precision="bfloat16", out_dtype=jnp.bfloat16)[:3]
 
     # Radial blur (8 directions x 10 walks) as one texture-space kernel,
     # computed on a half-resolution pyramid level (the taps feed a blur —
@@ -314,9 +321,10 @@ def visualizer_frag(sf):
     kernel = splat_kernel(offsets, size=5)
     blurred = convolve2d(quarter, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
-    blur_planes = sample_separable_planes(blur_tex, u_line, v_line,
-                                          precision="bfloat16",
-                                          out_dtype=jnp.bfloat16)[:3]
+    blur_tpp = 1.02 ** 2 * blur_tex.height / render_h
+    blur_planes = sample_separable_planes_blocked(
+        blur_tex, u_line, v_line, texels_per_px=(blur_tpp, blur_tpp),
+        precision="bfloat16", out_dtype=jnp.bfloat16)[:3]
     color_inv = 1.0 / (quality * directions)
 
     # Music bar geometry the MXU lookup needs at full field (the rest of the

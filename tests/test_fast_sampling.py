@@ -101,3 +101,54 @@ def test_lookup_nearest_1d_matches_pointwise():
     expected = np.asarray(sample(table, uv))
     got = np.asarray(lookup_nearest_1d(table, v))
     np.testing.assert_allclose(got, expected, rtol=1 / 128)  # bf16 table rounding
+
+
+def test_blocked_separable_matches_dense():
+    """The banded/blocked sampler must agree with the dense separable path
+    for in-contract maps (zoom-in, CLAMP-equivalent interior positions)."""
+    from shaderflow_tpu.ops.sampling import (
+        sample_separable_planes, sample_separable_planes_blocked)
+    tex = random_tex(h=96, w=128, linear=True, repeat_x=True, repeat_y=True)
+    # Zoomed-in affine map: positions stay inside [0, n-1] (no seam), taps
+    # per output pixel well under the declared bound
+    out_h, out_w = 517, 771   # odd sizes exercise block padding
+    u = jnp.linspace(0.1, 0.88, out_w)
+    v = jnp.linspace(0.9, 0.12, out_h)
+    dense = sample_separable_planes(tex, u, v)
+    tpp_u = float(0.78 * 128 / out_w) * 1.2
+    tpp_v = float(0.78 * 96 / out_h) * 1.2
+    blocked = sample_separable_planes_blocked(
+        tex, u, v, texels_per_px=(tpp_u, tpp_v), block=64)
+    for d, b in zip(dense, blocked):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(d), atol=2e-4)
+
+
+def test_blocked_separable_bf16_close():
+    from shaderflow_tpu.ops.sampling import (
+        sample_separable_planes, sample_separable_planes_blocked)
+    tex = random_tex(h=96, w=128, linear=True)
+    u = jnp.linspace(0.05, 0.93, 300)
+    v = jnp.linspace(0.95, 0.07, 200)
+    dense = sample_separable_planes(tex, u, v)
+    blocked = sample_separable_planes_blocked(
+        tex, u, v, texels_per_px=(0.5, 0.6), block=64,
+        precision="bfloat16", out_dtype=jnp.bfloat16)
+    for d, b in zip(dense, blocked):
+        # Two stages of bf16 rounding (~2^-7 at values near 1) — the same
+        # error class as the shipped dense bf16 path
+        np.testing.assert_allclose(np.asarray(b, np.float32), np.asarray(d),
+                                   atol=1.6e-2)
+
+
+def test_blocked_separable_falls_back_to_dense_when_windows_cover():
+    """A bound so large the windows span the whole texture returns the dense
+    path's exact result (the dispatch short-circuit)."""
+    from shaderflow_tpu.ops.sampling import (
+        sample_separable_planes, sample_separable_planes_blocked)
+    tex = random_tex(h=32, w=40, linear=True)
+    u = jnp.linspace(0.0, 1.0, 50)
+    v = jnp.linspace(1.0, 0.0, 30)
+    dense = sample_separable_planes(tex, u, v)
+    blocked = sample_separable_planes_blocked(tex, u, v, texels_per_px=(9.0, 9.0))
+    for d, b in zip(dense, blocked):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(d), atol=0)
