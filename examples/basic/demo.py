@@ -256,6 +256,31 @@ class MusicBars(ShaderScene):
 
 # ---------------------------------------------------------------------------- #
 
+def _visualizer_bar_prelude(ctx):
+    """Whole-batch radial-bar field: the bar's per-pixel index map (angle ->
+    spectrogram bin, half-plane -> channel) is frame-invariant, so the full
+    batch is ONE one-hot MXU contraction of the per-frame tables against the
+    static field (ops.sampling.lookup_nearest_1d_select_batched) instead of
+    a per-frame select chain inside the render scan.
+
+    Computes the angle field from screen gluv lines — exact for this scene's
+    static default 2D camera (the per-frame fallback in visualizer_frag uses
+    the camera-projected lines and remains the semantic reference)."""
+    tables = ctx.rows("iSpectrogram")            # (B, bins, 1, C)
+    if tables is None:
+        return None
+    from shaderflow_tpu.ops import tailfuse
+    from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select_batched
+    height, width = ctx.render_size
+    gx = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+          ) * ctx.aspect
+    gy = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    circle = jnp.abs(tailfuse.atan2(-gx[None, :], gy[:, None]) / PI)
+    return lookup_nearest_1d_select_batched(
+        tables[:, :, 0, :], circle, channel_where=(-gx[None, :] < 0),
+        out_dtype=jnp.bfloat16)
+
+
 def visualizer_frag(sf):
     """Radial bars music visualizer — the flagship scene (visualizer.frag).
 
@@ -337,16 +362,19 @@ def visualizer_frag(sf):
     uv_x_line = uv[0, :, 0]
     uv_y_line = uv[:, 0, 1]
     from shaderflow_tpu.ops import tailfuse
-    circle = jnp.abs(
-        tailfuse.atan2(-uv_x_line[None, :], uv_y_line[:, None]) / PI)
-    # Nearest bin lookup indexed by the radial angle, channel chosen by the
-    # bar's half-plane — one two-level MXU lookup for the whole bar field
-    # instead of 8M pointwise gathers (ops.sampling.lookup_nearest_1d_select)
-    from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select
-    bar_raw = lookup_nearest_1d_select(
-        sf.tex("iSpectrogram"), circle,
-        channel_where=(-uv_x_line[None, :] < 0),
-        out_dtype=jnp.bfloat16)
+    bar_raw = sf.prelude("iBarField")
+    if bar_raw is None:
+        # Per-frame fallback (realtime/streamed spectrogram): nearest bin
+        # lookup indexed by the radial angle, channel chosen by the bar's
+        # half-plane — one two-level MXU lookup for the whole bar field
+        # instead of 8M pointwise gathers
+        from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select
+        circle = jnp.abs(
+            tailfuse.atan2(-uv_x_line[None, :], uv_y_line[:, None]) / PI)
+        bar_raw = lookup_nearest_1d_select(
+            sf.tex("iSpectrogram"), circle,
+            channel_where=(-uv_x_line[None, :] < 0),
+            out_dtype=jnp.bfloat16)
 
     # Waveform on top and bottom: sampled at v=0 along x only — one
     # separable row instead of per-pixel gathers
@@ -458,6 +486,7 @@ class Visualizer(ShaderScene):
         self.back = ShaderTexture(scene=self, name="background").from_image(
             assets.background_image())
         self.shader.fragment = visualizer_frag
+        self.batch_preludes["iBarField"] = _visualizer_bar_prelude
 
     def handle(self, message):
         ShaderScene.handle(self, message)

@@ -48,6 +48,37 @@ if not os.environ.get("SHADERFLOW_NO_COMPILE_CACHE"):
 
 from shaderflow_tpu import logger
 from shaderflow_tpu.ops import tailfuse
+
+
+class PreludeCtx:
+    """Trace-time context handed to scene.batch_preludes functions.
+
+    A prelude runs INSIDE the jitted render program but OUTSIDE the per-frame
+    scan — once per batch, over all frames at once. It is the place for work
+    whose per-frame part is tiny but whose per-pixel indexing is
+    frame-invariant (e.g. expanding a per-frame lookup table over a static
+    radial index field as one batched MXU contraction instead of per-frame
+    compare chains inside the scan). The returned array's leading axis must
+    be the batch axis; the scan hands each frame its slice via
+    Frag.prelude(name). Return None to deactivate (frames fall back to their
+    per-frame formulation)."""
+
+    def __init__(self, frames, sequences, render_size, aspect):
+        self.frames = frames          # (B,) i32 stepped frame indices
+        self.sequences = sequences    # name -> full (F_pad, ...) device array
+        self.render_size = render_size  # (H, W) of the main program
+        self.aspect = aspect
+
+    def sequence(self, name: str):
+        return self.sequences.get(name)
+
+    def rows(self, name: str):
+        """Per-frame rows of a device sequence: seq[clip(frames)] -> (B, ...)."""
+        seq = self.sequences.get(name)
+        if seq is None:
+            return None
+        idx = jnp.clip(self.frames, 0, seq.shape[0] - 1)
+        return seq[idx]
 from shaderflow_tpu.ops.downsample import final_pass
 from shaderflow_tpu.ops.tailfuse import TailSpec
 from shaderflow_tpu.shader import Frag, ShaderProgram, finish_coords, make_coords
@@ -137,8 +168,11 @@ class RenderEngine:
             (name, tex.sequence_window)
             for name, tex in self._external_textures().items()
             if tex.sequence is not None and tex.sequence_window))
+        preludes = tuple(sorted(
+            (name, id(fn))
+            for name, fn in (getattr(scene, "batch_preludes", None) or {}).items()))
         return (textures, statics, scene._final.texture.resolution,
-                int(scene.subsample), scene.aspect_ratio, windows)
+                int(scene.subsample), scene.aspect_ratio, windows, preludes)
 
     def build(self) -> None:
         key = self._compute_build_key()
@@ -224,6 +258,7 @@ class RenderEngine:
         program_list = list(programs)
         meta_snapshot = dict(meta)
         seq_windows = dict(self._sequence_windows)
+        prelude_fns = dict(getattr(scene, "batch_preludes", None) or {})
 
         def unpack_uniforms(row, spec):
             """Split one packed f32 row back into named uniform values.
@@ -243,8 +278,30 @@ class RenderEngine:
             # Loop-invariant: XLA hoists these out of the scan
             coords = [make_coords(h, w, aspect) for (h, w) in sizes]
 
+            # Batch preludes: whole-batch precompute outside the scan (see
+            # PreludeCtx). Needs the stepped frame index column to gather
+            # per-frame sequence rows.
+            prelude_vals = {}
+            if prelude_fns:
+                frame_offset = next(
+                    (offset for (name, offset, size, kind, shape) in spec
+                     if name == "iFrameIndex"), None)
+                if frame_offset is not None:
+                    frame_indices = jnp.round(
+                        packed[:, frame_offset]).astype(jnp.int32)
+                    ctx = PreludeCtx(frame_indices, sequences,
+                                     sizes[-1], aspect)
+                    for name, fn in prelude_fns.items():
+                        value = fn(ctx)
+                        if value is not None:
+                            if value.shape[0] != packed.shape[0]:
+                                raise ValueError(
+                                    f"Prelude {name!r}: leading axis "
+                                    f"{value.shape[0]} != batch {packed.shape[0]}")
+                            prelude_vals[name] = value
+
             def body(carry, per_frame):
-                packed_row, frame_streams = per_frame
+                packed_row, frame_streams, frame_preludes = per_frame
                 frame_uniforms = unpack_uniforms(packed_row, spec)
                 textures = dict(static_tex)
                 # Device-resident per-frame sequences: index by the stepped
@@ -295,6 +352,7 @@ class RenderEngine:
                             textures=textures,
                             texture_meta=meta_snapshot,
                             layer=layer,
+                            preludes=frame_preludes,
                         )
                         out = prog.render_layer(ctx)
                         if isinstance(out, TailSpec):
@@ -330,7 +388,7 @@ class RenderEngine:
                     frame = final_pass(source, out_height, out_width, subsample)
                 return new_carry, frame
 
-            return jax.lax.scan(body, carry, (packed, streams))
+            return jax.lax.scan(body, carry, (packed, streams, prelude_vals))
 
         self._render_fn = render_batch
         self._jitted = jax.jit(render_batch, donate_argnums=(0,), static_argnums=(5,))

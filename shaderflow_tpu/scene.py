@@ -137,6 +137,10 @@ class ShaderScene(ShaderModule):
         self.vsync = None
         self.ffmpeg = FFmpeg()
         self.engine: Optional[RenderEngine] = None
+        # Batch-level precompute hooks: name -> fn(PreludeCtx) -> (B, ...)
+        # array or None, run once per flush outside the render scan
+        # (engine.PreludeCtx); frames read slices via Frag.prelude(name)
+        self.batch_preludes: dict[str, Any] = {}
         # Module-registered CLI commands (module.register_command)
         self._commands: dict[str, Any] = {}
         # HUD panel navigation ([ / ] select the expanded module panel)

@@ -61,12 +61,14 @@ class Frag:
         texture_meta: dict[str, Any],  # name -> ShaderTexture (sampling state)
         layer: int = 0,
         instance: int = 0,
+        preludes: dict[str, Any] = None,  # name -> this frame's prelude slice
     ):
         self._coords = coords
         self._uniforms = uniforms
         self._statics = statics
         self._textures = textures
         self._texture_meta = texture_meta
+        self._preludes = preludes or {}
         self.layer = layer
         self.instance = instance
         self._discard = None  # (H, W) bool mask set via discard()
@@ -171,6 +173,19 @@ class Frag:
 
     def agtexture(self, tex, agluv, mirror: bool = False):
         return ops.agtexture(self._sampler(tex), agluv, self.uniform("iWantAspect"), mirror)
+
+    # -- batch preludes -------------------------------------------------------
+
+    def prelude(self, name: str):
+        """This frame's slice of a batch-level prelude (engine.py): a value
+        the scene precomputed for the WHOLE batch outside the render scan
+        (scene.batch_preludes[name]); None when the prelude is inactive
+        (realtime/streamed mode, CPU fallback) — callers branch to their
+        per-frame formulation."""
+        return self._preludes.get(name)
+
+    def has_prelude(self, name: str) -> bool:
+        return name in self._preludes
 
     # -- fused tail stage -----------------------------------------------------
 

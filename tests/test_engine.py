@@ -108,3 +108,58 @@ def test_no_rebuild_across_runs():
     jitted = scene.engine._jitted
     scene.main(width=16, height=8, fps=10, time=0.3, output="null")
     assert scene.engine._jitted is jitted
+
+
+def test_batch_prelude_flows_per_frame():
+    """A scene-registered batch prelude runs once per flush outside the scan
+    and each frame reads its own slice via Frag.prelude()."""
+    calls = []
+
+    class Preluded(ShaderScene):
+        def build(self):
+            def prelude(ctx):
+                calls.append(1)
+                # One value per frame: the stepped frame index as a plane
+                h, w = ctx.render_size
+                return (ctx.frames[:, None, None].astype(jnp.float32)
+                        * jnp.ones((1, h, w), jnp.float32)) / 10.0
+
+            self.batch_preludes["ramp"] = prelude
+
+            def frag(sf):
+                plane = sf.prelude("ramp")
+                assert plane is not None
+                return ops.vec4(plane, 0.0, 0.0, 1.0)
+            self.shader.fragment = frag
+
+    scene = Preluded()
+    scene._setup_run(width=16, height=8, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(4):
+        scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(4))
+    # Frame k's red channel == k/10 (frame indices 0..3)
+    np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.0, 0.1, 0.2, 0.3],
+                               atol=0.01)
+    assert len(calls) == 1  # traced once, outside the scan
+
+
+def test_prelude_returning_none_deactivates():
+    class Fallback(ShaderScene):
+        def build(self):
+            self.batch_preludes["missing"] = lambda ctx: ctx.rows("nonexistent")
+
+            def frag(sf):
+                plane = sf.prelude("missing")
+                value = 0.25 if plane is None else 0.75
+                return ops.vec4(value, 0.0, 0.0, 1.0)
+            self.shader.fragment = frag
+
+    scene = Fallback()
+    scene._setup_run(width=8, height=8, fps=10, time=0.5, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(1))
+    np.testing.assert_allclose(frames[0, 0, 0, 0] / 255, 0.25, atol=0.01)

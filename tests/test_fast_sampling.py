@@ -152,3 +152,39 @@ def test_blocked_separable_falls_back_to_dense_when_windows_cover():
     blocked = sample_separable_planes_blocked(tex, u, v, texels_per_px=(9.0, 9.0))
     for d, b in zip(dense, blocked):
         np.testing.assert_allclose(np.asarray(b), np.asarray(d), atol=0)
+
+
+def _bar_tables_and_field(seed=3, batch=5, bins=23, channels=2, h=40, w=64):
+    rng = np.random.default_rng(seed)
+    tables = jnp.asarray(rng.uniform(size=(batch, bins, channels)).astype(np.float32))
+    v_field = jnp.asarray(rng.uniform(0.02, 0.98, size=(h, w)).astype(np.float32))
+    channel_where = jnp.asarray(rng.random((h, w)) > 0.5)
+    return tables, v_field, channel_where
+
+
+def test_lookup_batched_matches_per_frame():
+    """The batched table-expand must agree with running the per-frame
+    select variant once per frame."""
+    from shaderflow_tpu.ops.sampling import (
+        lookup_nearest_1d_select, lookup_nearest_1d_select_batched)
+    tables, v_field, channel_where = _bar_tables_and_field()
+    batched = np.asarray(lookup_nearest_1d_select_batched(
+        tables, v_field, channel_where=channel_where), np.float32)
+    for b in range(tables.shape[0]):
+        tex = Sampler2D(tables[b][:, None, :], linear=False, repeat_y=False)
+        per_frame = np.asarray(lookup_nearest_1d_select(
+            tex, v_field, channel_where=channel_where), np.float32)
+        # both paths round values through bf16
+        np.testing.assert_allclose(batched[b], per_frame, atol=1e-6)
+
+
+def test_lookup_batched_kernel_interpret(monkeypatch):
+    """The Pallas expand kernel (interpret mode) matches the gather path."""
+    from shaderflow_tpu.ops import sampling
+    tables, v_field, channel_where = _bar_tables_and_field(seed=9, h=16, w=48)
+    plain = np.asarray(sampling.lookup_nearest_1d_select_batched(
+        tables, v_field, channel_where=channel_where), np.float32)
+    monkeypatch.setenv("SHADERFLOW_TAILFUSE_INTERPRET", "1")
+    kernel = np.asarray(sampling.lookup_nearest_1d_select_batched(
+        tables, v_field, channel_where=channel_where, block=256), np.float32)
+    np.testing.assert_allclose(kernel, plain, atol=1e-6)
