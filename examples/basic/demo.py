@@ -295,7 +295,7 @@ def visualizer_frag(sf):
     """
     from shaderflow_tpu.ops.sampling import (
         Sampler2D, convolve2d, sample_separable, sample_separable_planes,
-        sample_separable_planes_blocked, splat_kernel)
+        sample_rows_planes_blocked, splat_kernel)
 
     cam = sf.camera
     uv = cam.gluv
@@ -314,14 +314,17 @@ def visualizer_frag(sf):
     u_line = ((2.0 * qx - 1.0) * aspect_scale + 1.0) / 2.0
     v_line = qy
     # Texels-per-pixel bound for the blocked sampler: both axes work out to
-    # z^2 * tex_h / render_h for this scene's axis-aligned map; z <= 0.93
-    # always (z = 0.92 + 0.01 sin - 0.02 vol, vol >= 0), bound with z <= 1.02
-    # for window margin. Positions stay well inside [0, n-1] (no REPEAT
-    # seam), the blocked contract.
+    # z^2 * tex_h / render_h for this scene's axis-aligned map; z <= 0.934
+    # always (z = 0.92 + 0.01 sin - 0.02 vol, vol >= small undershoot),
+    # bound with z <= 0.96 for window margin. Positions stay well inside
+    # [0, n-1] (no REPEAT seam), the blocked contract. Rows interpolate in
+    # XLA (banded matmuls); the column stage runs INSIDE the fused tail
+    # kernel (tailfuse.ColSampled), so the full-res sampled planes never
+    # touch HBM.
     render_h = uv.shape[0]
-    base_tpp = 1.02 ** 2 * tex.height / render_h
-    base_planes = sample_separable_planes_blocked(
-        tex, u_line, v_line, texels_per_px=(base_tpp, base_tpp),
+    base_tpp = 0.96 ** 2 * tex.height / render_h
+    base_rows = sample_rows_planes_blocked(
+        tex, v_line, texels_per_px=base_tpp,
         precision="bfloat16", out_dtype=jnp.bfloat16)[:3]
 
     # Radial blur (8 directions x 10 walks) as one texture-space kernel,
@@ -346,9 +349,9 @@ def visualizer_frag(sf):
     kernel = splat_kernel(offsets, size=5)
     blurred = convolve2d(quarter, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
-    blur_tpp = 1.02 ** 2 * blur_tex.height / render_h
-    blur_planes = sample_separable_planes_blocked(
-        blur_tex, u_line, v_line, texels_per_px=(blur_tpp, blur_tpp),
+    blur_tpp = 0.96 ** 2 * blur_tex.height / render_h
+    blur_rows = sample_rows_planes_blocked(
+        blur_tex, v_line, texels_per_px=blur_tpp,
         precision="bfloat16", out_dtype=jnp.bfloat16)[:3]
     color_inv = 1.0 / (quality * directions)
 
@@ -455,8 +458,8 @@ def visualizer_frag(sf):
 
     return sf.tail(
         tail,
-        base=base_planes,
-        blur=blur_planes,
+        base=tailfuse.ColSampled(base_rows, u_line, texels_per_px=base_tpp),
+        blur=tailfuse.ColSampled(blur_rows, u_line, texels_per_px=blur_tpp),
         bar=bar_raw,
         camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y),
         oob=tailfuse.Col(cam_oob),

@@ -306,6 +306,46 @@ def sample_separable_planes_blocked(
     return tuple(jax.lax.optimization_barrier(tuple(planes)))
 
 
+def sample_rows_planes_blocked(
+        tex: Sampler2D, v_line: Array, texels_per_px: float,
+        precision: str = "float32", out_dtype=None,
+        block: int = 240) -> tuple:
+    """Stage 1 (row interpolation) of the blocked separable sampler only:
+    returns one (out_h, tex_w) plane per channel, row-filtered at v_line but
+    NOT column-sampled — the form ops.tailfuse.ColSampled consumes, where
+    the final column interpolation happens inside the fused tail kernel.
+    Same CLAMP-window contract as sample_separable_planes_blocked."""
+    h, w = tex.height, tex.width
+    v = (1.0 - v_line) * h - 0.5
+    out_h = v.shape[0]
+
+    need = int(math.ceil(block * texels_per_px)) + 3
+    in_rows = min(h, max(64, -(-need // 64) * 64))
+    compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    out_dtype = out_dtype or jnp.float32
+    data = tex.data.astype(compute_dtype)
+
+    if in_rows >= h:
+        w_rows = _interp_matrix(v, h, tex.repeat_y).astype(compute_dtype)
+        return tuple(jax.lax.optimization_barrier(tuple(
+            jnp.dot(w_rows, data[..., c],
+                    preferred_element_type=jnp.float32).astype(out_dtype)
+            for c in range(data.shape[-1]))))
+
+    roffs, rweights, nb_r = _blocked_axis(v, out_h, h, block, in_rows)
+    rweights = rweights.astype(compute_dtype)
+    planes = []
+    for c in range(data.shape[-1]):
+        data_c = data[..., c]
+        parts = []
+        for k in range(nb_r):
+            window = jax.lax.dynamic_slice(data_c, (roffs[k], 0), (in_rows, w))
+            parts.append(jnp.dot(rweights[k], window,
+                                 preferred_element_type=jnp.float32))
+        planes.append(jnp.concatenate(parts, axis=0)[:out_h].astype(out_dtype))
+    return tuple(jax.lax.optimization_barrier(tuple(planes)))
+
+
 def splat_kernel(offsets: Array, size: int, weights: Array = None) -> Array:
     """Build a tap kernel from N continuous offsets by bilinear splatting:
     K = sum_j hat(x - dx_j) (x) hat(y - dy_j). Sampling a texture at p + d_j

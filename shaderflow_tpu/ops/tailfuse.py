@@ -98,6 +98,33 @@ class Table(NamedTuple):
     value: Any
 
 
+class ColSampled(NamedTuple):
+    """A texture input column-interpolated INSIDE the kernel.
+
+    `planes` are row-interpolated intermediates (render_height, W_in) — the
+    output of ops.sampling.sample_rows_planes_blocked. The final 1D linear
+    filtering along columns happens per tile: the kernel dynamic-windows
+    W_in via scalar-prefetched 128-column block indices, builds the 2-tap
+    hat-weight matrix in VMEM from `u_line`, and contracts on the MXU — so
+    the full-resolution sampled planes never exist in HBM (the dense
+    stage-2 + concat materialized ~64 MB/channel/frame at 4K; this reads
+    ~0.1 MB/tile).
+
+    u_line: (render_width,) normalized u in [0, 1] (u * W_in - 0.5 texel
+    convention, CLAMP; same CONTRACT as sample_separable_planes_blocked:
+    positions inside [0, W_in - 1], taps per output pixel <= texels_per_px).
+    """
+    planes: Any            # tuple of (render_height, W_in) arrays
+    u_line: Any            # (render_width,) normalized
+    texels_per_px: float
+
+
+class ColSampledSpec(NamedTuple):
+    planes: tuple          # tuple of (Hr, W_in) arrays
+    positions: Any         # (Wr,) continuous texel positions, clipped
+    texels_per_px: float
+
+
 class TailSpec(NamedTuple):
     """A deferred tail stage: returned by Frag.tail(), consumed by the engine."""
     fn: Callable[["TailCtx"], Any]
@@ -106,13 +133,28 @@ class TailSpec(NamedTuple):
     cols: dict            # name -> (Wr,) array
     scalars: dict         # name -> 0-d traced value
     tables: dict          # name -> (bins, C) array
+    colsampled: dict = {}  # name -> ColSampledSpec
 
 
 def make_spec(fn: Callable, render_height: int, render_width: int,
               **inputs) -> TailSpec:
     """Classify keyword inputs by shape into the TailSpec buckets."""
     planes, rows, cols, scalars, tables = {}, {}, {}, {}, {}
+    colsampled = {}
     for name, value in inputs.items():
+        if isinstance(value, ColSampled):
+            channels = tuple(jnp.asarray(p) for p in value.planes)
+            w_in = channels[0].shape[1]
+            for channel in channels:
+                if channel.shape != (render_height, w_in):
+                    raise ValueError(
+                        f"ColSampled input {name!r}: plane shape "
+                        f"{channel.shape} != ({render_height}, {w_in})")
+            u = jnp.asarray(value.u_line).reshape(render_width)
+            positions = jnp.clip(u * w_in - 0.5, 0.0, float(w_in - 1))
+            colsampled[name] = ColSampledSpec(
+                channels, positions, float(value.texels_per_px))
+            continue
         if isinstance(value, Row):
             rows[name] = jnp.asarray(value.value).reshape(render_height)
         elif isinstance(value, Col):
@@ -150,7 +192,7 @@ def make_spec(fn: Callable, render_height: int, render_width: int,
                 planes[name] = tuple(value[..., c] for c in range(value.shape[-1]))
             else:
                 raise ValueError(f"Unsupported tail input {name!r} ndim={value.ndim}")
-    return TailSpec(fn, planes, rows, cols, scalars, tables)
+    return TailSpec(fn, planes, rows, cols, scalars, tables, colsampled)
 
 
 # --------------------------------------------------------------------------- #
@@ -251,6 +293,28 @@ class TailCtx:
 # --------------------------------------------------------------------------- #
 # Reference (unfused) evaluation — exact semantics, any backend
 
+def _materialize_colsampled(spec: TailSpec) -> dict:
+    """Dense column interpolation of ColSampled inputs -> full (Hr, Wr)
+    channel planes. The semantic definition the kernel's windowed dot must
+    match: identical hat weights (2 nonzero taps), f32 accumulation — the
+    windowed and dense contractions sum the same two products."""
+    extra = {}
+    for name, cs in spec.colsampled.items():
+        w_in = cs.planes[0].shape[1]
+        texels = jnp.arange(w_in, dtype=jnp.float32)
+        weights = jnp.maximum(
+            1.0 - jnp.abs(cs.positions[:, None] - texels), 0.0)   # (Wr, W_in)
+        weights_t = weights.T
+        out = []
+        for plane in cs.planes:
+            w_cast = weights_t.astype(plane.dtype) \
+                if plane.dtype == jnp.bfloat16 else weights_t
+            out.append(jnp.dot(plane, w_cast,
+                               preferred_element_type=jnp.float32))
+        extra[name] = tuple(out)
+    return extra
+
+
 def _full_ctx(spec: TailSpec, render_height: int, render_width: int,
               aspect: float) -> TailCtx:
     rows = {k: v.reshape(-1, 1) for k, v in spec.rows.items()}
@@ -259,7 +323,8 @@ def _full_ctx(spec: TailSpec, render_height: int, render_width: int,
         jnp.float32, (render_height, render_width), 0)
     col_index = jax.lax.broadcasted_iota(
         jnp.float32, (render_height, render_width), 1)
-    return TailCtx(spec.planes, rows, cols, spec.scalars, spec.tables,
+    planes = {**spec.planes, **_materialize_colsampled(spec)}
+    return TailCtx(planes, rows, cols, spec.scalars, spec.tables,
                    row_index, col_index, render_height, render_width, aspect)
 
 
@@ -357,12 +422,52 @@ def fused_tail_final(
     scalar_names = sorted(spec.scalars)
     table_names = sorted(spec.tables)
 
-    th, tw = _choose_tile(out_height, out_width, s,
-                          sum(len(spec.planes[n]) for n in plane_names))
+    n_channel_inputs = (
+        sum(len(spec.planes[n]) for n in plane_names)
+        + sum(len(spec.colsampled[n].planes) for n in spec.colsampled))
+    th, tw = _choose_tile(out_height, out_width, s, n_channel_inputs)
     grid = (pl.cdiv(out_height, th), pl.cdiv(out_width, tw))
     ths, tws = th * s, tw * s
+    n_col_tiles = grid[1]
 
-    # Flatten inputs in a fixed order
+    # ColSampled groups: per-tile 128-column window block indices (scalar
+    # prefetch) + in-kernel hat-weight matmul. Groups whose window would
+    # cover the whole input demote to dense pre-sampled planes.
+    extra_planes = {}
+    cs_groups = []   # (name, n_channels, ic, n_blocks, w_in_pad, dtype)
+    cs_blocks = []   # per group: (n_col_tiles,) i32 128-block indices
+    cs_positions = {}  # reserved col-bucket name -> (Wr,) positions
+    for g_index, name in enumerate(sorted(spec.colsampled)):
+        cs = spec.colsampled[name]
+        w_in = cs.planes[0].shape[1]
+        w_in_pad = -(-w_in // 128) * 128
+        span = tws * cs.texels_per_px + 1.0
+        ic = 128 * int(math.ceil((span + 129.0) / 128.0))
+        if ic >= w_in_pad:
+            extra_planes[name] = _materialize_colsampled(
+                TailSpec(spec.fn, {}, {}, {}, {}, {}, {name: cs}))[name]
+            continue
+        pos = cs.positions
+        pad = n_col_tiles * tws - render_width
+        if pad:
+            pos = jnp.concatenate([pos, jnp.broadcast_to(pos[-1:], (pad,))])
+        block_min = pos.reshape(n_col_tiles, tws).min(axis=1)
+        off = jnp.clip(jnp.floor(block_min).astype(jnp.int32) - 1,
+                       0, w_in_pad - ic)
+        cs_blocks.append(off // 128)
+        padded = tuple(
+            jnp.pad(p, ((0, 0), (0, w_in_pad - w_in))) if w_in_pad != w_in
+            else p for p in cs.planes)
+        cs_groups.append((name, padded, ic, ic // 128, w_in_pad))
+        cs_positions[f"__cspos_{name}"] = cs.positions
+    all_planes = {**spec.planes, **extra_planes}
+    plane_names = sorted(all_planes)
+    all_cols = {**spec.cols, **cs_positions}
+    col_names = sorted(all_cols)
+    has_prefetch = bool(cs_groups)
+
+    # Flatten inputs in a fixed order (index maps are variadic over the
+    # optional trailing scalar-prefetch ref)
     operands = []
     in_specs = []
     # Scalars: one packed (1, K) f32 vector in SMEM
@@ -372,32 +477,44 @@ def fused_tail_final(
             [jnp.asarray(spec.scalars[n], jnp.float32) for n in scalar_names]
         ).reshape(1, n_scalars)
         operands.append(packed_scalars)
-        in_specs.append(pl.BlockSpec((1, n_scalars), lambda i, j: (0, 0),
+        in_specs.append(pl.BlockSpec((1, n_scalars), lambda i, j, *_: (0, 0),
                                      memory_space=pltpu.SMEM))
     plane_channels = []
     for name in plane_names:
-        for channel in spec.planes[name]:
+        for channel in all_planes[name]:
             operands.append(channel)
-            in_specs.append(pl.BlockSpec((ths, tws), lambda i, j: (i, j),
+            in_specs.append(pl.BlockSpec((ths, tws), lambda i, j, *_: (i, j),
                                          memory_space=pltpu.VMEM))
-        plane_channels.append((name, len(spec.planes[name])))
+        plane_channels.append((name, len(all_planes[name])))
     for name in row_names:
         operands.append(spec.rows[name].reshape(render_height, 1))
-        in_specs.append(pl.BlockSpec((ths, 1), lambda i, j: (i, 0),
+        in_specs.append(pl.BlockSpec((ths, 1), lambda i, j, *_: (i, 0),
                                      memory_space=pltpu.VMEM))
     for name in col_names:
-        operands.append(spec.cols[name].reshape(1, render_width))
-        in_specs.append(pl.BlockSpec((1, tws), lambda i, j: (0, j),
+        operands.append(all_cols[name].reshape(1, render_width))
+        in_specs.append(pl.BlockSpec((1, tws), lambda i, j, *_: (0, j),
                                      memory_space=pltpu.VMEM))
     for name in table_names:
         table = spec.tables[name]
         operands.append(table)
-        in_specs.append(pl.BlockSpec(table.shape, lambda i, j: (0, 0),
+        in_specs.append(pl.BlockSpec(table.shape, lambda i, j, *_: (0, 0),
                                      memory_space=pltpu.VMEM))
+    for g_index, (name, padded, ic, n_blocks, w_in_pad) in enumerate(cs_groups):
+        for channel in padded:
+            for b in range(n_blocks):
+                operands.append(channel)
+                in_specs.append(pl.BlockSpec(
+                    (ths, 128),
+                    (lambda g, b: lambda i, j, sref: (i, sref[g, j] + b))(
+                        g_index, b),
+                    memory_space=pltpu.VMEM))
 
     fn = spec.fn
 
     def kernel(*refs):
+        if has_prefetch:
+            sref = refs[0]
+            refs = refs[1:]
         pos = 0
         scalars = {}
         if n_scalars:
@@ -421,6 +538,26 @@ def fused_tail_final(
         for name in table_names:
             tables[name] = refs[pos][...]
             pos += 1
+        for g_index, (name, padded, ic, n_blocks, w_in_pad) in enumerate(cs_groups):
+            # Hat weights for this tile's window, shared by the channels:
+            # W[k, c] = max(0, 1 - |pos(c) - (blk*128 + k)|)
+            blk = sref[g_index, pl.program_id(1)]
+            col_base = (blk * 128).astype(jnp.float32)
+            pos_tile = cols[f"__cspos_{name}"]             # (1, tws)
+            iota_ic = jax.lax.broadcasted_iota(
+                jnp.int32, (ic, 1), 0).astype(jnp.float32)
+            delta = (pos_tile - col_base) - iota_ic        # (ic, tws)
+            dtype = padded[0].dtype
+            weights = jnp.maximum(1.0 - jnp.abs(delta), 0.0).astype(dtype)
+            sampled = []
+            for _ in padded:
+                window = jnp.concatenate(
+                    [refs[pos + b][...] for b in range(n_blocks)], axis=1)
+                pos += n_blocks
+                sampled.append(jax.lax.dot_general(
+                    window, weights, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            planes[name] = tuple(sampled)
         out_refs = refs[pos:pos + 3]
 
         i = pl.program_id(0)
@@ -452,17 +589,29 @@ def fused_tail_final(
             out_ref[...] = _quantize_u8(_pool(plane, s, pool_lr))
 
     out_shape = [jax.ShapeDtypeStruct((out_height, out_width), jnp.uint8)] * 3
-    out_specs = [pl.BlockSpec((th, tw), lambda i, j: (i, j),
+    out_specs = [pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                               memory_space=pltpu.VMEM)] * 3
 
-    r, g, b = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*operands)
+    if has_prefetch:
+        blk_all = jnp.stack(cs_blocks)                  # (n_groups, n_col_tiles)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_specs)
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(blk_all, *operands)
+    else:
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*operands)
     return jnp.stack([r, g, b], axis=-1)
 
 

@@ -128,3 +128,60 @@ def test_visualizer_fused_interpret_matches_fallback(monkeypatch):
     diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
     assert diff.max() <= 1
     assert (diff != 0).mean() < 0.02
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+def test_colsampled_windowed_matches_reference(subsample):
+    """ColSampled inputs: the kernel's scalar-prefetch windowed column
+    interpolation must match the dense reference materialization."""
+    out_h, out_w = 64, 512
+    render_h, render_w = out_h * subsample, out_w * subsample
+    rng = np.random.default_rng(11)
+    w_in = 640   # 5 * 128: no padding needed
+    planes = tuple(jnp.asarray(rng.random((render_h, w_in), np.float32))
+                   for _ in range(3))
+    # Zoom-in map: ~0.2 texels per output pixel, interior positions
+    u_line = jnp.asarray(np.linspace(0.2, 0.2 + 0.2 * render_w / w_in,
+                                     render_w, dtype=np.float32))
+
+    def tail(tp):
+        r, g, b = tp.vec3("tex")
+        return r, g * 0.5, b + 0.1
+
+    spec = tailfuse.make_spec(
+        tail, render_h, render_w,
+        tex=tailfuse.ColSampled(planes, u_line, texels_per_px=0.25))
+    assert "tex" in spec.colsampled
+
+    rgb = tailfuse.eval_reference(spec, render_h, render_w, 1.0)
+    reference = np.asarray(final_pass(rgb, out_h, out_w, subsample))
+    fused = np.asarray(tailfuse.fused_tail_final(
+        spec, render_h, render_w, out_h, out_w, subsample, 1.0,
+        interpret=True))
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01
+
+
+def test_colsampled_demotes_when_window_covers():
+    """A texels-per-px bound so large the window spans the input must fall
+    back to dense pre-sampling (still correct)."""
+    out_h, out_w = 32, 128
+    render_h, render_w = out_h, out_w
+    rng = np.random.default_rng(3)
+    planes = (jnp.asarray(rng.random((render_h, 256), np.float32)),)
+    u_line = jnp.asarray(np.linspace(0.05, 0.95, render_w, dtype=np.float32))
+
+    def tail(tp):
+        (v,) = tp.vec("tex")
+        return v, v, v
+
+    spec = tailfuse.make_spec(
+        tail, render_h, render_w,
+        tex=tailfuse.ColSampled(planes, u_line, texels_per_px=3.0))
+    rgb = tailfuse.eval_reference(spec, render_h, render_w, 1.0)
+    reference = np.asarray(final_pass(rgb, out_h, out_w, 1))
+    fused = np.asarray(tailfuse.fused_tail_final(
+        spec, render_h, render_w, out_h, out_w, 1, 1.0, interpret=True))
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    assert diff.max() <= 1
