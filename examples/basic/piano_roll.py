@@ -31,8 +31,11 @@ CHANNEL_COLORS = [
 def piano_roll_frag(sf):
     """TPU formulation: every lookup depends on the COLUMN only (the key
     under x) and every time term on the ROW only, so all texture reads are
-    1D line gathers (thousands, not millions) and the 2D image is pure
-    broadcast combination."""
+    1D line gathers (thousands, not millions) — and the 2D image is pure
+    broadcast combination, which runs INSIDE the fused tail kernel
+    (ops/tailfuse.py): the slot loop's full-field masks/smoothsteps never
+    materialize in HBM (previously ~20 f32 fields per 4K frame)."""
+    from shaderflow_tpu.ops import tailfuse
     MAX_SLOTS = 8  # simultaneous notes per key checked per pixel
 
     dynamic = sf.iPianoDynamic                      # smoothed (min, max) note
@@ -42,7 +45,6 @@ def piano_roll_frag(sf):
     span = hi - lo + 1.0
 
     ax = sf.astuv[0, :, 0]                          # (W,) column line
-    ay = sf.astuv[:, 0, 1]                          # (H,) row line
     key_f = lo + ax * span                          # (W,) fractional note
     key = jnp.floor(key_f).astype(jnp.int32)
     key_frac = key_f - key
@@ -62,58 +64,93 @@ def piano_roll_frag(sf):
     palette = jnp.array(CHANNEL_COLORS, jnp.float32)
     chan_color = palette[jnp.clip(channel.astype(jnp.int32), 0, len(CHANNEL_COLORS) - 1)]
 
-    # ---- keyboard band (per-column color, row-gated felt strip) ----
+    # ---- keyboard band line (per-column color; felt strip in-kernel) ----
     white_color = jnp.where(black[..., None], 0.12, 0.92)        # (W, 3)
     border = smoothstep(0.0, 0.08, key_frac) * smoothstep(1.0, 0.92, key_frac)
     kb_line = white_color * border[..., None]
     kb_line = mix(kb_line, chan_color, pressed[..., None] * 0.85)  # (W, 3)
-    felt = (smoothstep(kb_height - 0.012, kb_height - 0.008, ay)
-            * smoothstep(kb_height, kb_height - 0.004, ay))        # (H,)
-    kb_rgb = mix(kb_line[None, :, :], jnp.array([0.8, 0.1, 0.15]),
-                 felt[:, None, None])                              # (H, W, 3)
 
-    # ---- rolling notes: time varies by row, note data by column ----
-    t_row = sf.iTime + (ay - kb_height) / (1.0 - kb_height) * sf.iPianoRollTime  # (H,)
     edge = (smoothstep(0.02, 0.12, key_frac)
             * smoothstep(0.98, 0.88, key_frac))                    # (W,)
 
-    note_rgb = jnp.zeros((ay.shape[0], ax.shape[0], 3), jnp.float32)
-    note_hit = jnp.zeros((ay.shape[0], ax.shape[0]), jnp.float32)
+    # ---- per-slot note lines: start/end times, masked brightness, color ----
+    inputs = {}
     for slot in range(MAX_SLOTS):
         data = sf.texel_fetch(roll_tex, jnp.stack(
             [jnp.full_like(key, slot), key], axis=-1))             # (W, 4)
         start, end = data[..., 0], data[..., 1]
         chan, vel = data[..., 2], data[..., 3]
-        active = ((vel > 0)[None, :]
-                  & (start[None, :] <= t_row[:, None])
-                  & (t_row[:, None] <= end[None, :]))              # (H, W)
-        head = smoothstep(0.0, 0.02 * sf.iPianoRollTime, t_row[:, None] - start[None, :])
-        tail = smoothstep(0.0, 0.02 * sf.iPianoRollTime, end[None, :] - t_row[:, None])
-        body = edge[None, :] * head * tail
         color = palette[jnp.clip(chan.astype(jnp.int32), 0, len(CHANNEL_COLORS) - 1)]
-        brightness = (0.55 + 0.45 * clamp(vel / 128.0, 0.0, 1.0))  # (W,)
-        contrib = jnp.where(active, body * brightness[None, :], 0.0)
-        note_rgb = note_rgb + color[None, :, :] * contrib[..., None]
-        note_hit = jnp.maximum(note_hit, jnp.where(active, body, 0.0))
+        # vel > 0 gating folds into the brightness line (0 = inactive slot)
+        brightness = jnp.where(
+            vel > 0, 0.55 + 0.45 * clamp(vel / 128.0, 0.0, 1.0), 0.0)
+        inputs[f"s{slot}a"] = tailfuse.Col(start)
+        inputs[f"s{slot}b"] = tailfuse.Col(end)
+        inputs[f"s{slot}v"] = tailfuse.Col(brightness)
+        inputs[f"s{slot}r"] = tailfuse.Col(color[:, 0])
+        inputs[f"s{slot}g"] = tailfuse.Col(color[:, 1])
+        inputs[f"s{slot}c"] = tailfuse.Col(color[:, 2])
 
-    # ---- background: dark gradient + spectrogram glow (1D lines) ----
+    # ---- background glow + octave guide lines ----
     from shaderflow_tpu.ops.sampling import sample_separable
     spec = sample_separable(sf.tex("iSpectrogram"), jnp.full((1,), 0.5), ax)  # (W, 1, C)
     glow = jnp.sqrt(jnp.maximum(spec[:, 0, 0] + spec[:, 0, 1], 0.0) / 1000.0)  # (W,)
-    bg = (jnp.array([0.02, 0.03, 0.05])[None, None]
-          + jnp.array([0.05, 0.07, 0.12]) * (1.0 - ay)[:, None, None]
-          + jnp.array([0.10, 0.05, 0.20])
-          * (glow[None, :] * (1 - ay)[:, None] * 0.5)[..., None])
-    # octave guides
-    is_c = (jnp.mod(key, 12) == 0) & (key_frac < 0.06)             # (W,)
-    bg = jnp.where(is_c[None, :, None], bg + 0.03, bg)
+    is_c = ((jnp.mod(key, 12) == 0) & (key_frac < 0.06)).astype(jnp.float32)
 
-    roll_rgb = bg + note_rgb
-    roll_rgb = jnp.where(note_hit[..., None] > 0, note_rgb + bg * 0.3, roll_rgb)
+    def tail(tp):
+        def sstep(edge0, edge1, x):
+            t = clamp((x - edge0) / (edge1 - edge0), 0.0, 1.0)
+            return t * t * (3.0 - 2.0 * t)
 
-    in_keyboard = (ay < kb_height)[:, None, None]                  # (H, 1, 1)
-    rgb = jnp.where(in_keyboard, kb_rgb, roll_rgb)
-    return vec4(clamp(rgb, 0.0, 1.0), 1.0)
+        ay = tp.astuv_y
+        kbh = tp.scalar("kbh")
+        rolltime = tp.scalar("rolltime")
+        t_row = tp.scalar("time") + (ay - kbh) / (1.0 - kbh) * rolltime
+        ramp = 0.02 * rolltime
+        edge_c = tp.col("edge")
+
+        note = [jnp.zeros_like(ay), jnp.zeros_like(ay), jnp.zeros_like(ay)]
+        hit = jnp.zeros_like(ay)
+        for slot in range(MAX_SLOTS):
+            start = tp.col(f"s{slot}a")
+            end = tp.col(f"s{slot}b")
+            bright = tp.col(f"s{slot}v")
+            active = (bright > 0.0) & (start <= t_row) & (t_row <= end)
+            body = edge_c * sstep(0.0, ramp, t_row - start) \
+                * sstep(0.0, ramp, end - t_row)
+            contrib = jnp.where(active, body * bright, 0.0)
+            note[0] = note[0] + tp.col(f"s{slot}r") * contrib
+            note[1] = note[1] + tp.col(f"s{slot}g") * contrib
+            note[2] = note[2] + tp.col(f"s{slot}c") * contrib
+            hit = jnp.maximum(hit, jnp.where(active, body, 0.0))
+
+        glow_term = tp.col("glow") * (1.0 - ay) * 0.5
+        bg = [0.02 + 0.05 * (1.0 - ay) + 0.10 * glow_term,
+              0.03 + 0.07 * (1.0 - ay) + 0.05 * glow_term,
+              0.05 + 0.12 * (1.0 - ay) + 0.20 * glow_term]
+        octave = tp.col("isc") * 0.03
+        bg = [b + octave for b in bg]
+
+        felt = (sstep(kbh - 0.012, kbh - 0.008, ay)
+                * sstep(kbh, kbh - 0.004, ay))
+        felt_rgb = (0.8, 0.1, 0.15)
+        in_keyboard = ay < kbh
+        out = []
+        for c in range(3):
+            roll_c = jnp.where(hit > 0.0, note[c] + bg[c] * 0.3,
+                               bg[c] + note[c])
+            kb_c = tp.col(f"kb{c}") * (1.0 - felt) + felt_rgb[c] * felt
+            out.append(clamp(jnp.where(in_keyboard, kb_c, roll_c), 0.0, 1.0))
+        return out
+
+    return sf.tail(
+        tail,
+        edge=tailfuse.Col(edge), glow=tailfuse.Col(glow),
+        isc=tailfuse.Col(is_c),
+        kb0=tailfuse.Col(kb_line[:, 0]), kb1=tailfuse.Col(kb_line[:, 1]),
+        kb2=tailfuse.Col(kb_line[:, 2]),
+        kbh=kb_height, rolltime=sf.iPianoRollTime, time=sf.iTime,
+        **inputs)
 
 
 class PianoRoll(ShaderScene):

@@ -42,7 +42,11 @@ def quantize_u8(x: Array) -> Array:
     """GL UNSIGNED_BYTE conversion: floor(clamp(c, 0, 1) * 255 + 0.5).
 
     Half-away rounding, not jnp.round's half-to-even — GL hardware rounds
-    ties up, and PSNR parity cares about exactly these off-by-ones."""
+    ties up, and PSNR parity cares about exactly these off-by-ones. Always
+    computes in f32 (a bf16 *255 would round to 8 significant bits — half a
+    quantization step of error); the upcast fuses into the elementwise
+    chain, costing no extra HBM traffic for bf16 inputs."""
+    x = x.astype(jnp.float32)
     return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 

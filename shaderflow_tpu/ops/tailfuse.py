@@ -407,11 +407,17 @@ def fused_tail_final(
     subsample: int,
     aspect: float,
     interpret: bool = False,
+    quantize: bool = True,
 ) -> Array:
     """Run the fused tail+downsample+quantize kernel -> (out_h, out_w, 3) u8.
 
     Preconditions (checked by supports_fusion): render == out * subsample on
     both axes — the exact-pooling regime of ops.downsample.ssaa_downsample.
+
+    quantize=False (only meaningful with subsample == 1) emits the tail's
+    bf16 color planes instead of u8 — the equal-resolution regime, where the
+    final pass is a 3-tap neighbor stencil the tile-local kernel cannot
+    apply; the caller runs ops.downsample.final_pass on the result.
     """
     s = int(subsample)
     assert render_height == out_height * s and render_width == out_width * s
@@ -586,9 +592,13 @@ def fused_tail_final(
             plane = jnp.broadcast_to(jnp.asarray(plane, jnp.float32), (ths, tws))
             if valid is not None:
                 plane = jnp.where(valid, plane, 0.0)
-            out_ref[...] = _quantize_u8(_pool(plane, s, pool_lr))
+            if quantize:
+                out_ref[...] = _quantize_u8(_pool(plane, s, pool_lr))
+            else:
+                out_ref[...] = plane.astype(out_ref.dtype)
 
-    out_shape = [jax.ShapeDtypeStruct((out_height, out_width), jnp.uint8)] * 3
+    out_dtype = jnp.uint8 if quantize else jnp.bfloat16
+    out_shape = [jax.ShapeDtypeStruct((out_height, out_width), out_dtype)] * 3
     out_specs = [pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                               memory_space=pltpu.VMEM)] * 3
 
@@ -651,11 +661,24 @@ def run_tail_final(
     aspect: float,
 ) -> Array:
     """Fused when possible, else reference tail + ops.downsample.final_pass."""
+    interpret = os.environ.get("SHADERFLOW_TAILFUSE_INTERPRET") == "1"
     if supports_fusion(render_height, render_width, out_height, out_width, subsample):
         return fused_tail_final(
             spec, render_height, render_width, out_height, out_width,
-            int(subsample), aspect,
-            interpret=os.environ.get("SHADERFLOW_TAILFUSE_INTERPRET") == "1")
+            int(subsample), aspect, interpret=interpret)
     from shaderflow_tpu.ops.downsample import final_pass
+    if ((render_height, render_width) == (out_height, out_width)
+            and int(subsample) > 1 and backend_supports_fusion()):
+        # Equal-resolution regime (ssaa=1, subsample>1): the final pass is a
+        # separable 3-tap neighbor stencil, which a tile-local kernel cannot
+        # apply — run the tail fused (bf16 planes, no pool/quantize) and let
+        # the cheap shift-add stencil branch of ssaa_downsample finish.
+        # Keep the planes bf16 through the stencil (halves its HBM traffic;
+        # the [1/8, 3/4, 1/8] weights are bf16-exact and quantize_u8 upcasts
+        # in-register)
+        rgb = fused_tail_final(spec, render_height, render_width,
+                               out_height, out_width, 1, aspect,
+                               interpret=interpret, quantize=False)
+        return final_pass(rgb, out_height, out_width, int(subsample))
     rgb = eval_reference(spec, render_height, render_width, aspect)
     return final_pass(rgb, out_height, out_width, int(subsample))

@@ -185,3 +185,54 @@ def test_colsampled_demotes_when_window_covers():
         spec, render_h, render_w, out_h, out_w, 1, 1.0, interpret=True))
     diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
     assert diff.max() <= 1
+
+
+def test_pianoroll_fused_interpret_matches_fallback(monkeypatch):
+    """PianoRoll's tail (54 Col inputs + scalars, no planes) through the
+    fused kernel vs the reference fallback."""
+    import sys
+    from pathlib import Path
+    REPO = Path(__file__).parent.parent
+    sys.path.insert(0, str(REPO / "examples" / "basic"))
+    sys.path.insert(0, str(REPO / "examples"))
+    import piano_roll
+
+    def render(fused):
+        if fused:
+            monkeypatch.setenv("SHADERFLOW_TAILFUSE_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("SHADERFLOW_TAILFUSE_INTERPRET", raising=False)
+        scene = piano_roll.PianoRoll()
+        scene._setup_run(width=192, height=108, fps=10, time=0.2,
+                         ssaa=1.0, freewheel=True)
+        scene.engine.begin_batch()
+        for _ in range(2):
+            scene.next(dt=scene.frametime)
+        return np.asarray(scene.engine.flush(2))
+
+    fused = render(True)
+    reference = render(False)
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    # ssaa=1 routes through the bf16-plane + bf16-stencil regime: two bf16
+    # round-trips before quantization — up to two u8 steps on scattered
+    # pixels (~50 dB, far above the 40 dB parity bar), last bit on ~10%
+    assert diff.max() <= 2
+    assert (diff != 0).mean() < 0.15
+
+
+def test_equal_res_stencil_regime_fused(monkeypatch):
+    """ssaa=1 + subsample=2 (the 3-tap stencil regime): run_tail_final must
+    route through the fused kernel's bf16-render mode + the XLA stencil and
+    match the reference path within bf16 rounding."""
+    out_h, out_w = 40, 160
+    spec = _make_spec(out_h, out_w)
+    reference = np.asarray(final_pass(
+        tailfuse.eval_reference(spec, out_h, out_w, 1.0), out_h, out_w, 2))
+    monkeypatch.setenv("SHADERFLOW_TAILFUSE_INTERPRET", "1")
+    fused = np.asarray(tailfuse.run_tail_final(
+        spec, out_h, out_w, out_h, out_w, 2, 1.0))
+    diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+    # bf16 plane round-trip before the stencil: ~2^-8 relative, about one
+    # quantization step
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.01

@@ -30,7 +30,7 @@ CONFIGS = [
     ("raymarch 1920x1080@60", dict(BENCH_SCENE="raymarch", BENCH_SSAA="1.0"), 1.0),
     ("pianoroll 3840x2160@60", dict(BENCH_SCENE="pianoroll", BENCH_WIDTH="3840",
                                     BENCH_HEIGHT="2160", BENCH_SSAA="1.0",
-                                    BENCH_BATCH="16"), 1.0),
+                                    BENCH_BATCH="64"), 1.0),
 ]
 
 
