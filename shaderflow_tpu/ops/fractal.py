@@ -85,31 +85,38 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
         # Masks carried as f32 (Mosaic cannot carry i1 vectors in while).
         # The early-exit check is a cross-vector max reduction — running it
         # every iteration costs more than a handful of wasted masked steps,
-        # so the body advances `unroll` iterations per check, each step
-        # gated on k+i < max_iter so the ITERATION COUNTS stay bit-identical
-        # to the one-step-per-check form (and to the masked fori fallback).
+        # so the body advances `unroll` iterations per check. The while runs
+        # only FULL unroll blocks up to max_iter - max_iter % unroll; the
+        # static remainder runs unrolled after the loop — so no step needs
+        # the k+i < max_iter gate (2 of ~11 VPU ops per iteration), and the
+        # ITERATION COUNTS stay bit-identical to the one-step-per-check form
+        # (and to the masked fori fallback).
         #
         # z itself advances UNGATED: an escaped pixel's orbit blowing up to
         # inf/nan cannot corrupt the result — `active` is already 0 there
         # (nan comparisons land on the inactive side), and only `iters` is
         # observable. Dropping the two z freezes + recomputed squares cuts
         # the per-iteration op count ~30%.
+        main_end = max_iter - (max_iter % unroll)
+
+        def step(zx, zy, x2, y2, iters, active):
+            iters = iters + active
+            ny = 2.0 * (zx * zy) + cy_t
+            zx = x2 - y2 + cx_t
+            zy = ny
+            x2 = zx * zx
+            y2 = zy * zy
+            inside = jnp.where(x2 + y2 > r2, 0.0, 1.0)
+            return zx, zy, x2, y2, iters, active * inside
+
         def cond(state):
             k, _, _, _, _, _, active = state
-            return (k < max_iter) & (jnp.max(active) > 0.0)
+            return (k < main_end) & (jnp.max(active) > 0.0)
 
         def body(state):
             k, zx, zy, x2, y2, iters, active = state
-            for i in range(unroll):
-                live = active * jnp.where(k + i < max_iter, 1.0, 0.0)
-                iters = iters + live
-                ny = 2.0 * (zx * zy) + cy_t
-                zx = x2 - y2 + cx_t
-                zy = ny
-                x2 = zx * zx
-                y2 = zy * zy
-                inside = jnp.where(x2 + y2 > r2, 0.0, 1.0)
-                active = active * inside
+            for _ in range(unroll):
+                zx, zy, x2, y2, iters, active = step(zx, zy, x2, y2, iters, active)
             return k + unroll, zx, zy, x2, y2, iters, active
 
         x2_0 = zx_t * zx_t
@@ -118,8 +125,13 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
         if int_ref is not None:
             active0 = active0 * (1.0 - int_ref[:])
         iters0 = jnp.zeros_like(zx_t)
-        _, _, _, _, _, iters, _ = jax.lax.while_loop(
+        _, zx_t, zy_t, x2_0, y2_0, iters, active0 = jax.lax.while_loop(
             cond, body, (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0))
+        # Static remainder (max_iter % unroll steps), masked like any other
+        # step — runs even for fully-escaped tiles (at most unroll-1 steps)
+        for _ in range(max_iter % unroll):
+            zx_t, zy_t, x2_0, y2_0, iters, active0 = step(
+                zx_t, zy_t, x2_0, y2_0, iters, active0)
         iters = iters.astype(jnp.int32)
         if int_ref is not None:
             iters = jnp.where(int_ref[:] > 0.5, max_iter, iters)
@@ -181,11 +193,14 @@ def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,
     cy = jnp.broadcast_to(jnp.asarray(cy, jnp.float32), zy0.shape)
     if jax.default_backend() in ("tpu", "axon") and _pallas_supported():
         import os
-        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "128x256")  # A/B winner on v5e
-        # A/B on v5e @1080p60 2xSSAA q=50: unroll 1 -> 39.6fps, 8 -> 71.6,
-        # 16 -> 73.2, 32 -> 74.7 (the per-iteration cross-vector max in the
-        # early-exit cond dominated); 16 balances the win against wasted
-        # masked steps at low quality/max_iter
+        # Sweep on v5e @1080p60 2xSSAA q=50 (max_iter=500): 128x256 -> 124
+        # fps, 64x256 -> 170, 64x128 -> 210, 32x256 -> 185, 32x128 -> 187,
+        # 16x128 -> 149, 8x128 -> 92. Smaller tiles track the boundary's
+        # per-tile max escape time more tightly (less wasted iteration on
+        # mixed tiles) until per-tile dispatch overhead wins below ~32 rows.
+        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "64x128")
+        # unroll 8 -> 176, 16 -> 210, 32 -> 208 (cross-vector max in the
+        # early-exit cond amortizes ~16; beyond that wasted masked steps)
         unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
         th, tw = (int(x) for x in tile.split("x"))
         return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius),
