@@ -219,9 +219,13 @@ class ShaderTexture(ShaderModule):
         width, height = self.resolution
         shape = (self._temporal, self._layers, height, width, self._components)
         old = self.matrix
-        self.matrix = np.zeros(shape, dtype=np.float32)
         if old is not None and old.shape == shape:
-            self.matrix[...] = old
+            # Same storage shape: content is preserved by definition — skip
+            # the 100+ MB realloc/copy a redundant RecreateTextures relay
+            # would otherwise pay at supersampled resolutions
+            self.version += 1
+            return self
+        self.matrix = np.zeros(shape, dtype=np.float32)
         self.version += 1
         return self
 
