@@ -22,12 +22,18 @@ from shaderflow_tpu.io.sinks import FFmpegSink
 from shaderflow_tpu.scene import ShaderScene
 
 STUB = r'''#!/usr/bin/env python3
-"""Stub ffmpeg: drains stdin, records the byte count to the output target."""
+"""Stub ffmpeg: drains stdin, records the byte count to the output target.
+PCM-decode invocations (-f f32le ... -) emit a short silent stream instead,
+so audio modules can run against the stub too."""
 import os, sys
 
 if os.environ.get("STUB_FFMPEG_CRASH"):
     sys.stderr.write("stub ffmpeg: simulated encoder crash\n")
     sys.exit(13)
+
+if "f32le" in sys.argv and sys.argv[-1] == "-":
+    sys.stdout.buffer.write(b"\x00" * (44100 * 2 * 4))   # 1 s stereo silence
+    sys.exit(0)
 
 out = sys.argv[-1]
 data = sys.stdin.buffer.read()
@@ -134,3 +140,32 @@ def test_scene_export_through_ffmpeg_sink(stub_ffmpeg, tmp_path):
     result = scene.main(width=32, height=16, fps=10, time=0.5, output=str(out))
     assert Path(result) == out
     assert read_stub_count(out) == 5 * 16 * 32 * 3
+
+
+def test_scene_export_full_av_mux(stub_ffmpeg, tmp_path):
+    """Graded config 5's 'full A/V mux' shape: a scene WITH an audio module
+    exports through FFmpegSink; the module's ffhook adds the audio file as
+    a second FFmpeg input (+ shortest), and every rendered byte reaches the
+    encoder process."""
+    import sys
+    from pathlib import Path as _P
+    sys.path.insert(0, str(_P(__file__).parent.parent / "examples"))
+    import assets
+    from shaderflow_tpu.audio import ShaderAudio
+
+    class AudioRamp(ShaderScene):
+        def build(self):
+            self.audio = ShaderAudio(scene=self, name="iAudio",
+                                     file=assets.music_wav())
+            self.shader.fragment = lambda sf: ops.vec4(
+                sf.astuv[..., 0], 0.3, 0.5, 1.0)
+
+    out = tmp_path / "muxed.mp4"
+    scene = AudioRamp()
+    scene.main(width=32, height=16, fps=10, time=0.5, output=str(out))
+    # All video bytes reached the encoder via the pipe
+    assert read_stub_count(out) == 5 * 16 * 32 * 3
+    # The spawned command carried the audio input + shortest (A/V mux)
+    command = " ".join(str(part) for part in scene.ffmpeg.command)
+    assert "music.wav" in command
+    assert "-shortest" in command
