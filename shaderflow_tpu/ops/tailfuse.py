@@ -408,6 +408,7 @@ def fused_tail_final(
     aspect: float,
     interpret: bool = False,
     quantize: bool = True,
+    stack: bool = True,
 ) -> Array:
     """Run the fused tail+downsample+quantize kernel -> (out_h, out_w, 3) u8.
 
@@ -622,6 +623,8 @@ def fused_tail_final(
             out_shape=out_shape,
             interpret=interpret,
         )(*operands)
+    if not stack:
+        return r, g, b
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -673,12 +676,28 @@ def run_tail_final(
         # separable 3-tap neighbor stencil, which a tile-local kernel cannot
         # apply — run the tail fused (bf16 planes, no pool/quantize) and let
         # the cheap shift-add stencil branch of ssaa_downsample finish.
-        # Keep the planes bf16 through the stencil (halves its HBM traffic;
-        # the [1/8, 3/4, 1/8] weights are bf16-exact and quantize_u8 upcasts
-        # in-register)
-        rgb = fused_tail_final(spec, render_height, render_width,
-                               out_height, out_width, 1, aspect,
-                               interpret=interpret, quantize=False)
-        return final_pass(rgb, out_height, out_width, int(subsample))
+        # PLANAR stencil: channel-last (H, W, 3) elementwise ops run at
+        # 3-lane vector efficiency on TPU; per-plane 2D shift-adds use the
+        # full 128 lanes (measured ~15 -> ~4 ms/batch at 4K) and only the
+        # final u8 interleave pays the minor-dim-3 relayout. Planes stay
+        # bf16 through the stencil (the [m, 1-2m, m] weights are bf16-exact,
+        # quantize_u8 upcasts in-register); math identical to
+        # ops.downsample.ssaa_downsample's equal-resolution branch.
+        from shaderflow_tpu.ops.downsample import quantize_u8
+        s = int(subsample)
+        m = sum(max(0.0, -0.5 + (k + 0.5) / s) for k in range(s)) / s
+        planes = fused_tail_final(spec, render_height, render_width,
+                                  out_height, out_width, 1, aspect,
+                                  interpret=interpret, quantize=False,
+                                  stack=False)
+        out = []
+        for plane in planes:
+            padded = jnp.pad(plane, ((1, 1), (1, 1)), mode="edge")
+            rows = ((1.0 - 2.0 * m) * padded[1:1 + out_height]
+                    + m * (padded[0:out_height] + padded[2:2 + out_height]))
+            mixed = ((1.0 - 2.0 * m) * rows[:, 1:1 + out_width]
+                     + m * (rows[:, 0:out_width] + rows[:, 2:2 + out_width]))
+            out.append(quantize_u8(mixed))
+        return jnp.stack(out, axis=-1)
     rgb = eval_reference(spec, render_height, render_width, aspect)
     return final_pass(rgb, out_height, out_width, int(subsample))
