@@ -365,7 +365,13 @@ def visualizer_frag(sf):
     uv_x_line = uv[0, :, 0]
     uv_y_line = uv[:, 0, 1]
     from shaderflow_tpu.ops import tailfuse
-    bar_raw = sf.prelude("iBarField")
+    bar_stack = sf.prelude_indexed("iBarField")
+    if bar_stack is not None:
+        # The tail kernel reads this frame's bar plane straight from the
+        # batch stack (tailfuse.Indexed) — no per-frame slice in HBM
+        bar_raw = tailfuse.Indexed(bar_stack[0], bar_stack[1])
+    else:
+        bar_raw = sf.prelude("iBarField")
     if bar_raw is None:
         # Per-frame fallback (realtime/streamed spectrogram): nearest bin
         # lookup indexed by the radial angle, channel chosen by the bar's

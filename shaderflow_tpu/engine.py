@@ -301,7 +301,7 @@ class RenderEngine:
                             prelude_vals[name] = value
 
             def body(carry, per_frame):
-                packed_row, frame_streams, frame_preludes = per_frame
+                packed_row, frame_streams, frame_preludes, step_id = per_frame
                 frame_uniforms = unpack_uniforms(packed_row, spec)
                 textures = dict(static_tex)
                 # Device-resident per-frame sequences: index by the stepped
@@ -353,6 +353,8 @@ class RenderEngine:
                             texture_meta=meta_snapshot,
                             layer=layer,
                             preludes=frame_preludes,
+                            prelude_stacks=prelude_vals,
+                            prelude_step=step_id,
                         )
                         out = prog.render_layer(ctx)
                         if isinstance(out, TailSpec):
@@ -388,7 +390,9 @@ class RenderEngine:
                     frame = final_pass(source, out_height, out_width, subsample)
                 return new_carry, frame
 
-            return jax.lax.scan(body, carry, (packed, streams, prelude_vals))
+            step_ids = jnp.arange(packed.shape[0], dtype=jnp.int32)
+            return jax.lax.scan(
+                body, carry, (packed, streams, prelude_vals, step_ids))
 
         self._render_fn = render_batch
         self._jitted = jax.jit(render_batch, donate_argnums=(0,), static_argnums=(5,))

@@ -125,6 +125,17 @@ class ColSampledSpec(NamedTuple):
     texels_per_px: float
 
 
+class Indexed(NamedTuple):
+    """One (Hr, Wr) plane selected from a stacked (N, Hr, Wr) array by a
+    traced index — typically a batch-prelude output read inside the render
+    scan. The fused kernel block-indexes the stack directly (scalar-prefetch
+    leading index), so no per-frame (Hr, Wr) slice is ever materialized in
+    HBM (the scan-xs slicing of a 16 MB bf16 plane measured ~6 ms/batch of
+    relayout copies at 4K)."""
+    stack: Any             # (N, Hr, Wr) array
+    index: Any             # traced i32 scalar in [0, N)
+
+
 class TailSpec(NamedTuple):
     """A deferred tail stage: returned by Frag.tail(), consumed by the engine."""
     fn: Callable[["TailCtx"], Any]
@@ -134,6 +145,7 @@ class TailSpec(NamedTuple):
     scalars: dict         # name -> 0-d traced value
     tables: dict          # name -> (bins, C) array
     colsampled: dict = {}  # name -> ColSampledSpec
+    indexed: dict = {}     # name -> Indexed
 
 
 def make_spec(fn: Callable, render_height: int, render_width: int,
@@ -141,7 +153,16 @@ def make_spec(fn: Callable, render_height: int, render_width: int,
     """Classify keyword inputs by shape into the TailSpec buckets."""
     planes, rows, cols, scalars, tables = {}, {}, {}, {}, {}
     colsampled = {}
+    indexed = {}
     for name, value in inputs.items():
+        if isinstance(value, Indexed):
+            stack = jnp.asarray(value.stack)
+            if stack.shape[1:] != (render_height, render_width):
+                raise ValueError(
+                    f"Indexed input {name!r}: stack shape {stack.shape} != "
+                    f"(N, {render_height}, {render_width})")
+            indexed[name] = Indexed(stack, jnp.asarray(value.index, jnp.int32))
+            continue
         if isinstance(value, ColSampled):
             channels = tuple(jnp.asarray(p) for p in value.planes)
             w_in = channels[0].shape[1]
@@ -192,7 +213,8 @@ def make_spec(fn: Callable, render_height: int, render_width: int,
                 planes[name] = tuple(value[..., c] for c in range(value.shape[-1]))
             else:
                 raise ValueError(f"Unsupported tail input {name!r} ndim={value.ndim}")
-    return TailSpec(fn, planes, rows, cols, scalars, tables, colsampled)
+    return TailSpec(fn, planes, rows, cols, scalars, tables, colsampled,
+                    indexed)
 
 
 # --------------------------------------------------------------------------- #
@@ -315,6 +337,16 @@ def _materialize_colsampled(spec: TailSpec) -> dict:
     return extra
 
 
+def _materialize_indexed(spec: TailSpec) -> dict:
+    """Dynamic-index each Indexed stack -> one (Hr, Wr) channel plane."""
+    extra = {}
+    for name, ix in spec.indexed.items():
+        index = jnp.clip(ix.index, 0, ix.stack.shape[0] - 1)
+        extra[name] = (jax.lax.dynamic_index_in_dim(
+            ix.stack, index, 0, keepdims=False),)
+    return extra
+
+
 def _full_ctx(spec: TailSpec, render_height: int, render_width: int,
               aspect: float) -> TailCtx:
     rows = {k: v.reshape(-1, 1) for k, v in spec.rows.items()}
@@ -323,7 +355,8 @@ def _full_ctx(spec: TailSpec, render_height: int, render_width: int,
         jnp.float32, (render_height, render_width), 0)
     col_index = jax.lax.broadcasted_iota(
         jnp.float32, (render_height, render_width), 1)
-    planes = {**spec.planes, **_materialize_colsampled(spec)}
+    planes = {**spec.planes, **_materialize_colsampled(spec),
+              **_materialize_indexed(spec)}
     return TailCtx(planes, rows, cols, spec.scalars, spec.tables,
                    row_index, col_index, render_height, render_width, aspect)
 
@@ -431,7 +464,8 @@ def fused_tail_final(
 
     n_channel_inputs = (
         sum(len(spec.planes[n]) for n in plane_names)
-        + sum(len(spec.colsampled[n].planes) for n in spec.colsampled))
+        + sum(len(spec.colsampled[n].planes) for n in spec.colsampled)
+        + len(spec.indexed))
     th, tw = _choose_tile(out_height, out_width, s, n_channel_inputs)
     grid = (pl.cdiv(out_height, th), pl.cdiv(out_width, tw))
     ths, tws = th * s, tw * s
@@ -471,7 +505,8 @@ def fused_tail_final(
     plane_names = sorted(all_planes)
     all_cols = {**spec.cols, **cs_positions}
     col_names = sorted(all_cols)
-    has_prefetch = bool(cs_groups)
+    indexed_names = sorted(spec.indexed)
+    has_prefetch = bool(cs_groups) or bool(indexed_names)
 
     # Flatten inputs in a fixed order (index maps are variadic over the
     # optional trailing scalar-prefetch ref)
@@ -515,6 +550,15 @@ def fused_tail_final(
                     (lambda g, b: lambda i, j, sref: (i, sref[g, j] + b))(
                         g_index, b),
                     memory_space=pltpu.VMEM))
+    # Indexed stacks: leading index from the prefetch row after the
+    # colsampled rows
+    for offset, name in enumerate(indexed_names):
+        operands.append(spec.indexed[name].stack)
+        in_specs.append(pl.BlockSpec(
+            (1, ths, tws),
+            (lambda row: lambda i, j, sref: (sref[row, 0], i, j))(
+                len(cs_groups) + offset),
+            memory_space=pltpu.VMEM))
 
     fn = spec.fn
 
@@ -565,6 +609,9 @@ def fused_tail_final(
                     window, weights, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
             planes[name] = tuple(sampled)
+        for name in indexed_names:
+            planes[name] = (refs[pos][...][0],)
+            pos += 1
         out_refs = refs[pos:pos + 3]
 
         i = pl.program_id(0)
@@ -604,7 +651,15 @@ def fused_tail_final(
                               memory_space=pltpu.VMEM)] * 3
 
     if has_prefetch:
-        blk_all = jnp.stack(cs_blocks)                  # (n_groups, n_col_tiles)
+        # Prefetch rows: colsampled window-block indices, then one row per
+        # Indexed stack (its clipped leading index broadcast along the row)
+        prefetch_rows = list(cs_blocks)
+        for name in indexed_names:
+            ix = spec.indexed[name]
+            index = jnp.clip(ix.index, 0, ix.stack.shape[0] - 1)
+            prefetch_rows.append(
+                jnp.full((n_col_tiles,), index, jnp.int32))
+        blk_all = jnp.stack(prefetch_rows)              # (n_rows, n_col_tiles)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=in_specs, out_specs=out_specs)

@@ -62,6 +62,8 @@ class Frag:
         layer: int = 0,
         instance: int = 0,
         preludes: dict[str, Any] = None,  # name -> this frame's prelude slice
+        prelude_stacks: dict[str, Any] = None,  # name -> full (B, ...) array
+        prelude_step: Any = None,               # this frame's batch position
     ):
         self._coords = coords
         self._uniforms = uniforms
@@ -69,6 +71,8 @@ class Frag:
         self._textures = textures
         self._texture_meta = texture_meta
         self._preludes = preludes or {}
+        self._prelude_stacks = prelude_stacks or {}
+        self._prelude_step = prelude_step
         self.layer = layer
         self.instance = instance
         self._discard = None  # (H, W) bool mask set via discard()
@@ -186,6 +190,16 @@ class Frag:
 
     def has_prelude(self, name: str) -> bool:
         return name in self._preludes
+
+    def prelude_indexed(self, name: str):
+        """The FULL (B, ...) prelude stack plus this frame's batch position
+        — for feeding ops.tailfuse.Indexed so the fused kernel reads the
+        frame's slice straight from the stack (no per-frame HBM slice).
+        None when the prelude is inactive."""
+        stack = self._prelude_stacks.get(name)
+        if stack is None or self._prelude_step is None:
+            return None
+        return stack, self._prelude_step
 
     # -- fused tail stage -----------------------------------------------------
 

@@ -236,3 +236,28 @@ def test_equal_res_stencil_regime_fused(monkeypatch):
     # quantization step
     assert diff.max() <= 2
     assert (diff > 1).mean() < 0.01
+
+
+def test_indexed_stack_matches_reference():
+    """Indexed inputs: kernel block-indexes the (N, H, W) stack via scalar
+    prefetch; must equal dynamic-indexing + plane input."""
+    out_h, out_w, s = 32, 256, 2
+    render_h, render_w = out_h * s, out_w * s
+    rng = np.random.default_rng(21)
+    stack = jnp.asarray(rng.random((5, render_h, render_w), np.float32))
+
+    def tail(tp):
+        (v,) = tp.vec("sel")
+        return v, 1.0 - v, v * 0.5
+
+    for index in (0, 3, 4, 9):   # 9 exercises the clip
+        spec = tailfuse.make_spec(
+            tail, render_h, render_w,
+            sel=tailfuse.Indexed(stack, jnp.int32(index)))
+        assert "sel" in spec.indexed
+        rgb = tailfuse.eval_reference(spec, render_h, render_w, 1.0)
+        reference = np.asarray(final_pass(rgb, out_h, out_w, s))
+        fused = np.asarray(tailfuse.fused_tail_final(
+            spec, render_h, render_w, out_h, out_w, s, 1.0, interpret=True))
+        diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
+        assert diff.max() <= 1, f"index {index}"
