@@ -74,6 +74,9 @@ def main() -> None:
             f"| {name} | {result['value']:.1f} | {realtime:.2f}x "
             f"| {target:g}x | {realtime / target:.2f} |")
     lines.append("")
+    extra = REPO / "docs" / "BENCHMARKS_extra.md"
+    if extra.exists():
+        lines.append(extra.read_text())
     (REPO / "BENCHMARKS.md").write_text("\n".join(lines))
     print(f"Wrote {REPO / 'BENCHMARKS.md'}", file=sys.stderr)
 
