@@ -27,7 +27,9 @@ def mandelbrot_frag(sf):
 
     Iteration runs through ops.fractal.escape_iterations: per-VMEM-tile
     early-exit while loops on TPU (frame cost follows each tile's own
-    escape time), masked fori_loop elsewhere."""
+    escape time), masked fori_loop elsewhere. The palette + out-of-bounds
+    mask + SSAA downsample + u8 quantize run in the fused tail kernel
+    (iteration counts stream through HBM exactly once)."""
     from shaderflow_tpu.ops.fractal import escape_iterations
     cam = sf.camera
     c = cam.gluv - vec2(0.5, 0.0)
@@ -35,10 +37,36 @@ def mandelbrot_frag(sf):
     quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
     iters = escape_iterations(c, quality, radius=3.0)
 
-    t = jnp.power(1.0 - iters.astype(jnp.float32) / quality, 20.0)
-    rgb = ops.palette_magma(t)
-    rgb = jnp.where(cam.out_of_bounds[..., None], ops.palette_magma(0.0), rgb)
-    return vec4(rgb, 1.0)
+    import numpy as _np
+    magma = tuple(_np.asarray(stop) for stop in (
+        ops.PALETTE_MAGMA_1, ops.PALETTE_MAGMA_2,
+        ops.PALETTE_MAGMA_3, ops.PALETTE_MAGMA_4))
+    oob_color = magma[0]     # palette_magma(0) == stop A exactly
+
+    def tail(tp):
+        t = 1.0 - tp.plane("iters") / quality
+        # x^20 as a multiply chain (exact for t in [0, 1]; Mosaic has no
+        # pow lowering and exp(20 log t) loses the t == 0 interior exactly)
+        t2 = t * t
+        t4 = t2 * t2
+        t16 = (t4 * t4) * (t4 * t4)
+        t = t16 * t4
+        out = []
+        for channel in range(3):
+            a, b, cc, d = (float(stop[channel]) for stop in magma)
+            # GLSL mix does NOT clamp: the selected branches extrapolate
+            # (C->D continues past t=0.75), exactly like ops.palette
+            ab = a + (b - a) * (t * 4.0)
+            bc = b + (cc - b) * ((t - 0.25) * 4.0)
+            cd = cc + (d - cc) * ((t - 0.5) * 4.0)
+            value = jnp.where(t < 0.25, ab, jnp.where(t < 0.5, bc, cd))
+            out.append(jnp.where(tp.plane("oob") > 0.5,
+                                 float(oob_color[channel]), value))
+        return out
+
+    return sf.tail(tail,
+                   iters=iters.astype(jnp.float32),
+                   oob=cam.out_of_bounds.astype(jnp.float32))
 
 
 class Mandelbrot(ShaderScene):
