@@ -88,11 +88,38 @@ def julia_frag(sf):
     quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
     iters = escape_iterations_z0(z0, cx, cy, quality, radius=3.0)
 
-    t = jnp.power(1.0 - iters.astype(jnp.float32) / quality, 8.0)
-    angle = 2.0 * jnp.pi * (iters.astype(jnp.float32) / 64.0)
-    rgb = ops.hsv2rgb3(angle, 0.8, t)
-    rgb = jnp.where(cam.out_of_bounds[..., None], 0.0, rgb)
-    return vec4(rgb, 1.0)
+    TAU = 2.0 * jnp.pi
+
+    def tail(tp):
+        it = tp.plane("iters")
+        t = 1.0 - it / quality
+        t2 = t * t
+        t8 = (t2 * t2) * (t2 * t2)             # == power(t, 8), exact
+        # hsv2rgb (ops.stdlib.hsv2rgb) in the plane dialect, s = 0.8
+        h = jnp.mod(TAU * (it / 64.0), TAU)
+        value = t8
+        c = value * 0.8
+        x = c * (1.0 - jnp.abs(jnp.mod(h / (jnp.pi / 3.0), 2.0) - 1.0))
+        m = value - c
+        sector = jnp.floor(6.0 * (h / TAU))
+        zero = jnp.zeros_like(c)
+
+        def pick(options):
+            out = zero
+            for k, option in enumerate(options):
+                out = jnp.where(sector == float(k), option, out)
+            return out
+
+        oob = tp.plane("oob") > 0.5
+        r = pick([c, x, zero, zero, x, c]) + m
+        g = pick([x, c, c, x, zero, zero]) + m
+        b = pick([zero, zero, x, c, c, x]) + m
+        return (jnp.where(oob, 0.0, r), jnp.where(oob, 0.0, g),
+                jnp.where(oob, 0.0, b))
+
+    return sf.tail(tail,
+                   iters=iters.astype(jnp.float32),
+                   oob=cam.out_of_bounds.astype(jnp.float32))
 
 
 class Julia(ShaderScene):
