@@ -157,9 +157,9 @@ class ShaderCamera(ShaderModule):
         yield StaticUniform("int", f"{self.name}Projection", self.projection.value)
         yield StaticUniform("bool", f"{self.name}Trivial",
                             trivial and self.projection == CameraProjection.Perspective)
-        yield Uniform("vec3", f"{self.name}Right", right)
-        yield Uniform("vec3", f"{self.name}Upward", up)
-        yield Uniform("vec3", f"{self.name}Forward", forward)
+        yield self.uniform("vec3", f"{self.name}Right", right)
+        yield self.uniform("vec3", f"{self.name}Upward", up)
+        yield self.uniform("vec3", f"{self.name}Forward", forward)
 
     # -- vector actions (camera.py:209-235) ----------------------------------
 

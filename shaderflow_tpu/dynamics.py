@@ -74,8 +74,8 @@ class ShaderDynamics(ShaderModule, DynamicNumber):
         if not kind:
             return
         if self.primary:
-            yield Uniform(kind, self.name, self.value)
+            yield self.uniform(kind, self.name, self.value)
         if self.integrate:
-            yield Uniform(kind, f"{self.name}Integral", self.integral)
+            yield self.uniform(kind, f"{self.name}Integral", self.integral)
         if self.differentiate:
-            yield Uniform(kind, f"{self.name}Derivative", self.derivative)
+            yield self.uniform(kind, f"{self.name}Derivative", self.derivative)

@@ -106,6 +106,22 @@ class ShaderModule:
 
     # -- scene-wide operations ----------------------------------------------
 
+    def uniform(self, type: str, name: str, value: Any) -> ShaderVariable:
+        """Cached Uniform for pipeline() hot paths: one object per
+        (module, name), mutated in place each frame. The capture loop reads
+        .value immediately per yield, so mutation is safe — and ~100 object
+        constructions per frame vanish from the host hot loop. Falls back to
+        a fresh object when the declared type changes."""
+        from shaderflow_tpu.variable import Uniform
+        cache = self.__dict__.setdefault("_uniform_objects", {})
+        variable = cache.get(name)
+        if variable is None or variable.type != type:
+            variable = Uniform(type, name, value)
+            cache[name] = variable
+        else:
+            variable.value = value
+        return variable
+
     def full_pipeline(self) -> Iterable[ShaderVariable]:
         for module in self.scene.modules:
             yield from module.pipeline()

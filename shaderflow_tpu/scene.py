@@ -758,30 +758,31 @@ class ShaderScene(ShaderModule):
 
     def pipeline(self) -> Iterable[ShaderVariable]:
         """Global uniforms every shader sees (scene.py:687-703 set)."""
-        yield Uniform("int", "iLayer", None)  # injected per layer by the engine
-        yield Uniform("float", "iTime", self.time)
-        yield Uniform("float", "iTau", self.tau)
-        yield Uniform("float", "iDuration", self.duration)
-        yield Uniform("float", "iDeltatime", self.dt)
-        yield Uniform("vec2", "iResolution", self.resolution)
-        yield Uniform("float", "iWantAspect", self.aspect_ratio)
-        yield Uniform("float", "iQuality", self.quality / 100)
+        u = self.uniform  # cached objects (module.uniform) — host hot path
+        yield u("int", "iLayer", None)  # injected per layer by the engine
+        yield u("float", "iTime", self.time)
+        yield u("float", "iTau", self.tau)
+        yield u("float", "iDuration", self.duration)
+        yield u("float", "iDeltatime", self.dt)
+        yield u("vec2", "iResolution", self.resolution)
+        yield u("float", "iWantAspect", self.aspect_ratio)
+        yield u("float", "iQuality", self.quality / 100)
         # Static twin of iQuality for shaders that derive loop trip counts
         # from it (e.g. fractal escape iterations): changing quality
         # re-specializes the program instead of tracing a dynamic bound
         from shaderflow_tpu.variable import StaticUniform
         yield StaticUniform("float", "iQualityS", self.quality / 100)
-        yield Uniform("float", "iSSAA", self.ssaa)
-        yield Uniform("float", "iFramerate", self.fps)
-        yield Uniform("int", "iFrame", self.frame)
+        yield u("float", "iSSAA", self.ssaa)
+        yield u("float", "iFramerate", self.fps)
+        yield u("int", "iFrame", self.frame)
         # True stepped-frame counter (== iFrame only when speed == 1); the
         # engine indexes device-resident texture sequences with it
-        yield Uniform("int", "iFrameIndex", self._frame_counter)
-        yield Uniform("bool", "iRealtime", self.realtime)
-        yield Uniform("vec2", "iMouse", self.mouse_gluv)
-        yield Uniform("bool", "iMouseInside", self.mouse_inside)
+        yield u("int", "iFrameIndex", self._frame_counter)
+        yield u("bool", "iRealtime", self.realtime)
+        yield u("vec2", "iMouse", self.mouse_gluv)
+        yield u("bool", "iMouseInside", self.mouse_inside)
         for i in range(1, 3):
-            yield Uniform("bool", f"iMouse{i}", self.mouse_buttons[i])
+            yield u("bool", f"iMouse{i}", self.mouse_buttons[i])
 
     # ------------------------------------------------------------------ #
 

@@ -365,7 +365,7 @@ class ShaderTexture(ShaderModule):
     def pipeline(self):
         if not self.name:
             return
-        yield Uniform("vec2", f"{self.name}Size", self.resolution)
+        yield self.uniform("vec2", f"{self.name}Size", self.resolution)
         yield StaticUniform("int", f"{self.name}Layers", self._layers)
         yield StaticUniform("int", f"{self.name}Temporal", self._temporal)
         # The texture arrays themselves are bound by the render engine, which
