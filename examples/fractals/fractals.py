@@ -149,10 +149,34 @@ def tetration_frag(sf):
     escaped = jnp.zeros(c.shape[:-1], bool)
     z, iters, escaped = lax.fori_loop(0, MAX_STEPS, body, (z, iters, escaped))
 
-    k = iters.astype(jnp.float32) / MAX_STEPS
-    theta = ops.atan2n(z[..., 1], z[..., 0])
-    rgb = ops.hsv2rgb3(theta, 1.0, k)
-    return vec4(rgb, 1.0)
+    from shaderflow_tpu.ops import tailfuse
+    TAU = 2.0 * jnp.pi
+
+    def tail(tp):
+        # hue = the reference's (0, 2pi)-range atan2 in CYCLES, fed to the
+        # radians-domain hsv (preserves the scene's existing look);
+        # tailfuse.atan2 is the kernel-safe poly with the standard
+        # (-pi, pi] range — mod folds it to (0, 2pi)
+        h = jnp.mod(tailfuse.atan2(tp.plane("zy"), tp.plane("zx")), TAU) / TAU
+        value = tp.plane("k")
+        x = value * (1.0 - jnp.abs(jnp.mod(h / (jnp.pi / 3.0), 2.0) - 1.0))
+        sector = jnp.floor(6.0 * (h / TAU))
+        zero = jnp.zeros_like(value)
+
+        def pick(options):
+            out = zero
+            for index, option in enumerate(options):
+                out = jnp.where(sector == float(index), option, out)
+            return out
+
+        # s = 1: c == v, m == 0
+        return (pick([value, x, zero, zero, x, value]),
+                pick([x, value, value, x, zero, zero]),
+                pick([zero, zero, x, value, value, x]))
+
+    return sf.tail(tail,
+                   k=iters.astype(jnp.float32) / MAX_STEPS,
+                   zx=z[..., 0], zy=z[..., 1])
 
 
 class Tetration(ShaderScene):
