@@ -58,12 +58,20 @@ Array = jax.Array
 def atan2(y: Array, x: Array) -> Array:
     """Polynomial atan2 for tail functions (range (-pi, pi], max error ~1e-5
     rad). Mosaic does not lower lax.atan2; this runs identically inside the
-    kernel and on the fallback path so both stay bit-comparable."""
+    kernel and on the fallback path so both stay bit-comparable.
+
+    Matches IEEE arctan2 on infinities (escaped-fractal z planes contain
+    them); deviation: -0.0 is treated as +0.0, so atan2(0, -0.0) is 0, not
+    pi (keeps the hot kernel free of a signbit divide)."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    t = lo / jnp.maximum(hi, 1e-30)
+    # hi == lo covers the both-infinite case (inf/inf is NaN, but IEEE
+    # arctan2(+-inf, +-inf) is +-pi/4 etc.) and is exact (t = 1) for equal
+    # finite magnitudes; escaped-fractal z values hit this (tetration golden).
+    t = jnp.where((hi == lo) & (hi > 0.0), jnp.float32(1.0),
+                  lo / jnp.maximum(hi, 1e-30))
     s = t * t
     # Minimax polynomial for atan(t), t in [0, 1]
     r = t * (0.99997726 + s * (-0.33262347 + s * (0.19354346

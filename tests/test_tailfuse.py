@@ -261,3 +261,20 @@ def test_indexed_stack_matches_reference():
             spec, render_h, render_w, out_h, out_w, s, 1.0, interpret=True))
         diff = np.abs(fused.astype(np.int16) - reference.astype(np.int16))
         assert diff.max() <= 1, f"index {index}"
+
+
+def test_atan2_nonfinite_matches_ieee():
+    """Poly atan2 must match IEEE arctan2 on infinities: escaped-fractal z
+    planes contain +-inf (the tetration golden regressed 42 dB when
+    inf/inf produced NaN -> black pixels instead of pi/4 hues)."""
+    inf = np.float32(np.inf)
+    # (0, -0.0) is deliberately absent: the poly treats -0.0 as +0.0
+    # (returns 0, IEEE says pi) — a documented deviation to keep the hot
+    # kernel free of a signbit divide.
+    ys = np.array([inf, inf, -inf, -inf, 1.0, -1.0, inf, -inf, 0.0,
+                   5.0, 5.0], np.float32)
+    xs = np.array([inf, -inf, inf, -inf, inf, inf, 1.0, 1.0, 0.0,
+                   5.0, -5.0], np.float32)
+    got = np.asarray(tailfuse.atan2(jnp.asarray(ys), jnp.asarray(xs)))
+    want = np.arctan2(ys, xs)
+    assert np.allclose(got, want, atol=2e-5), (got, want)
