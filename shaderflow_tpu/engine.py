@@ -570,22 +570,24 @@ class RenderEngine:
             # device sequence on its first update): rebuild before running —
             # captured uniforms/streams remain valid
             self.build()
-        packed, spec, streams = self.stack_captures(count, pad_to)
 
         if self.mesh is not None and not self._carry:
             # Frame-sharded SPMD path (feedback-free scenes only): the batch
             # splits F/N per device, uniforms/streams shard on their leading
             # axis, textures replicate; zero collectives in the hot loop
-            # (parallel/mesh.py). Batch must divide the mesh — scene code
-            # pads flushes accordingly.
+            # (parallel/mesh.py). The batch must divide the mesh size, so a
+            # partial flush self-pads to the next multiple by replicating
+            # the last frame's inputs (the padded frames are cropped off) —
+            # callers never need to know the mesh size.
             n = self.mesh.devices.size
-            if packed.shape[0] % n:
-                raise ValueError(
-                    f"frame-sharded flush needs batch % {n} == 0, got {packed.shape[0]} "
-                    f"(pass pad_to a multiple of the mesh size)")
+            target = max(pad_to or 0, count)
+            target = -(-target // n) * n
+            packed, spec, streams = self.stack_captures(count, target)
             frames_u8 = self._sharded(spec)(
                 self._carry, packed, streams, self._static_tex, self._sequences)
-            return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
+            return frames_u8[:count] if packed.shape[0] > count else frames_u8
+
+        packed, spec, streams = self.stack_captures(count, pad_to)
 
         before = self._jitted._cache_size()
         self._carry, frames_u8 = self._jitted(
