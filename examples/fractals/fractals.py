@@ -35,13 +35,24 @@ def mandelbrot_frag(sf):
     c = cam.gluv - vec2(0.5, 0.0)
 
     quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
-    iters = escape_iterations(c, quality, radius=3.0)
 
+    import math
     import numpy as _np
     magma = tuple(_np.asarray(stop) for stop in (
         ops.PALETTE_MAGMA_1, ops.PALETTE_MAGMA_2,
         ops.PALETTE_MAGMA_3, ops.PALETTE_MAGMA_4))
     oob_color = magma[0]     # palette_magma(0) == stop A exactly
+
+    # Visual iteration cap: the tail maps count i to palette(pow(1-i/q, 20))
+    # quantized to u8. For saturated pixels t^20 is tiny, so only the A->B
+    # palette segment applies (slope 4*max|B-A| per unit t^20); any count
+    # with slope*255*t^20 < 0.5 renders within half a u8 step of the q-count
+    # color — for ANY view. Iterating past that cap is dead work: cap =
+    # q*(1 - (0.5/(255*slope))^(1/20)) ~ 0.284*q. Counts below the cap stay
+    # EXACT (bit-identical to the reference loop).
+    slope = 4.0 * float(max(abs(magma[1] - magma[0])))
+    cap = math.ceil(quality * (1.0 - (0.5 / (255.0 * slope)) ** (1.0 / 20.0)))
+    iters = escape_iterations(c, quality, radius=3.0, saturate=cap)
 
     def tail(tp):
         t = 1.0 - tp.plane("iters") / quality
@@ -86,7 +97,15 @@ def julia_frag(sf):
     cy = 0.156 + 0.08 * jnp.sin(sf.iTime * 0.17)
 
     quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
-    iters = escape_iterations_z0(z0, cx, cy, quality, radius=3.0)
+    # Visual cap (see mandelbrot_frag): every channel is bounded by
+    # value = pow(1-i/q, 8), so once 255*t^8 < 0.25 the capped and true
+    # colors both round within half a u8 step — the hue wheel is
+    # irrelevant at that magnitude. Counts below the cap stay exact.
+    import math
+    cap = math.ceil(quality * (1.0 - (0.25 / 255.0) ** (1.0 / 8.0)))
+    # monotone: the orbiting c stays within |c| <= 0.96 << r^2 - r = 6
+    iters = escape_iterations_z0(z0, cx, cy, quality, radius=3.0,
+                                 saturate=cap, monotone=True)
 
     TAU = 2.0 * jnp.pi
 

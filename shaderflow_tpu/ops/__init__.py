@@ -11,7 +11,8 @@ from shaderflow_tpu.ops.complexmath import (
     cadd, ccar, cconj, cdiv, cexp, cmag, cmul, cpol, cpow, csub,
 )
 from shaderflow_tpu.ops.sampling import (
-    Sampler2D, agtexture, astexture, gmtexture, gtexture, sample, stexture, texel_fetch,
+    MipSampler, Sampler2D, agtexture, astexture, auto_lod, gmtexture, gtexture,
+    mip_pyramid, sample, sample_mip, stexture, texel_fetch,
 )
 from shaderflow_tpu.ops.stdlib import *  # noqa: F401,F403 — the GLSL-like vocabulary
 from shaderflow_tpu.ops.stdlib import (  # explicit re-exports for linters

