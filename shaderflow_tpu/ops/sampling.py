@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from shaderflow_tpu.ops import stdlib as sl
 
@@ -75,7 +76,11 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
 
     Equivalent of GLSL texture(sampler2D, uv); the workhorse behind the
     astexture/stexture/gtexture family (shaderflow.glsl:162-208).
+    A MipSampler routes to trilinear mip sampling with automatic LOD, so
+    every coordinate-space accessor honors texture(mipmaps=True).
     """
+    if isinstance(tex, MipSampler):
+        return sample_mip(tex, uv)
     h, w = tex.height, tex.width
     u = uv[..., 0] * w - 0.5
     # v up -> rows top-down: row = (1 - v)*H - 0.5
@@ -102,6 +107,150 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     top = c00 + (c01 - c00) * fx
     bottom = c10 + (c11 - c10) * fx
     return top + (bottom - top) * fy
+
+
+# --------------------------------------------------------------------------- #
+# Mipmaps — minification anti-aliasing.
+#
+# Role-equivalent of the reference's mipmaps/anisotropy texture attributes
+# (/root/reference/shaderflow/texture.py:82-137), where the GL driver builds
+# the pyramid and selects levels from quad derivatives. TPU-native shape:
+# the pyramid is built INSIDE the jitted program (2x2 mean pooling per
+# level, a reshape the compiler turns into cheap vector adds; for static
+# textures XLA hoists the whole chain out of the frame scan, so it costs
+# once per batch), and the level is selected from the uv FIELD's own
+# finite-difference derivatives — the per-pixel analogue of GL's implicit
+# quad derivatives, available here because samplers always see whole
+# coordinate fields rather than single fragments.
+
+
+class MipSampler(NamedTuple):
+    """A texture bound with its mip pyramid. `levels[0]` is the full-
+    resolution Sampler2D; each next level halves (floor) both dimensions.
+    Calling it samples with automatic LOD from the uv field; pass `lod=`
+    for an explicit scalar or per-pixel level."""
+
+    levels: tuple  # tuple[Sampler2D, ...]
+
+    @property
+    def base(self) -> "Sampler2D":
+        return self.levels[0]
+
+    # Sampler2D-compatible surface (delegates to the full-res level) so a
+    # MipSampler flows through texel_fetch and size queries unchanged
+    @property
+    def data(self) -> Array:
+        return self.levels[0].data
+
+    @property
+    def height(self) -> int:
+        return self.levels[0].height
+
+    @property
+    def width(self) -> int:
+        return self.levels[0].width
+
+    @property
+    def components(self) -> int:
+        return self.levels[0].components
+
+    @property
+    def linear(self) -> bool:
+        return self.levels[0].linear
+
+    @property
+    def repeat_x(self) -> bool:
+        return self.levels[0].repeat_x
+
+    @property
+    def repeat_y(self) -> bool:
+        return self.levels[0].repeat_y
+
+    def __call__(self, uv: Array, lod=None) -> Array:
+        return sample_mip(self, uv, lod)
+
+
+jax.tree_util.register_pytree_node(
+    MipSampler,
+    lambda s: (tuple(s.levels), None),
+    lambda aux, children: MipSampler(tuple(children)),
+)
+
+
+def mip_pyramid(tex: Sampler2D, max_levels: int = None) -> MipSampler:
+    """Build the 2x2 box pyramid down to 1x1 (or max_levels). Odd
+    dimensions drop the last row/column per level (the GL NPOT floor
+    convention)."""
+    levels = [tex]
+    data = tex.data
+    total = 1 + int(np.floor(np.log2(max(tex.height, tex.width, 1))))
+    if max_levels is not None:
+        total = min(total, int(max_levels))
+    for _ in range(1, total):
+        h, w, c = data.shape
+        nh, nw = max(h // 2, 1), max(w // 2, 1)
+        trimmed = data[: nh * 2 if h > 1 else 1, : nw * 2 if w > 1 else 1]
+        if h > 1:
+            trimmed = trimmed.reshape(nh, 2, -1, c).mean(axis=1).reshape(nh, trimmed.shape[1], c)
+        if w > 1:
+            trimmed = trimmed.reshape(nh, nw, 2, c).mean(axis=2)
+        data = trimmed
+        levels.append(Sampler2D(data, tex.linear, tex.repeat_x, tex.repeat_y))
+    return MipSampler(tuple(levels))
+
+
+def auto_lod(uv: Array, height: int, width: int) -> Array:
+    """Per-pixel mip level from the uv field's screen-space derivatives:
+    lod = log2(max texel footprint), clamped at 0 (magnification). The uv
+    field must be an image-shaped (..., H, W, 2) array — the standard Frag
+    coordinate fields are."""
+    tx = uv[..., 0] * width
+    ty = uv[..., 1] * height
+    # Finite differences along the screen axes; edge pixels reuse their
+    # neighbor's derivative (GL quads behave the same way).
+    def d(a, axis):
+        diff = jnp.abs(jnp.diff(a, axis=axis))
+        last = jnp.take(diff, jnp.array([diff.shape[axis] - 1]), axis=axis)
+        return jnp.concatenate([diff, last], axis=axis)
+    footprint = jnp.maximum(
+        jnp.maximum(d(tx, -1), d(ty, -1)),   # d/dx
+        jnp.maximum(d(tx, -2), d(ty, -2)))   # d/dy
+    return jnp.maximum(jnp.log2(jnp.maximum(footprint, 1e-12)), 0.0)
+
+
+def sample_mip(mip: MipSampler, uv: Array, lod=None) -> Array:
+    """Trilinear mipmap sampling (GL LINEAR_MIPMAP_LINEAR).
+
+    lod=None derives the per-pixel level from the uv field (auto_lod);
+    a static Python scalar samples exactly two levels; a traced scalar or
+    per-pixel field blends every level with hat weights (each level's
+    bilinear sample is cheap — the deep levels are tiny — but callers on a
+    hot path should prefer a static lod)."""
+    levels = mip.levels
+    n = len(levels)
+    if n == 1:
+        return sample(levels[0], uv)
+    if lod is None:
+        lod = auto_lod(uv, levels[0].height, levels[0].width)
+    if not hasattr(lod, "shape") and not hasattr(lod, "dtype"):
+        # Static scalar: exactly two levels
+        lod = float(min(max(lod, 0.0), n - 1))
+        k = int(np.floor(lod))
+        if k >= n - 1:
+            return sample(levels[-1], uv)
+        frac = lod - k
+        lo = sample(levels[k], uv)
+        if frac == 0.0:
+            return lo
+        hi = sample(levels[k + 1], uv)
+        return lo + (hi - lo) * frac
+    lod = jnp.clip(lod, 0.0, float(n - 1))
+    out = None
+    for k, level in enumerate(levels):
+        w = jnp.clip(1.0 - jnp.abs(lod - k), 0.0, 1.0)[..., None]
+        term = sample(level, uv) * w
+        out = term if out is None else out + term
+    return out
 
 
 def _interp_matrix(positions: Array, n: int, repeat: bool) -> Array:

@@ -145,12 +145,20 @@ class Frag:
             raise KeyError(f"Unknown texture {name!r}; known: {sorted(self._textures)}")
         array = self._textures[name]
         meta = self._texture_meta[name]
-        return Sampler2D(
+        sampler = Sampler2D(
             array[temporal, layer],
             linear=meta.linear,
             repeat_x=meta.repeat_x,
             repeat_y=meta.repeat_y,
         )
+        if getattr(meta, "mipmaps", False):
+            # Honors texture(mipmaps=True): pyramid built in-jit (XLA hoists
+            # it out of the frame scan for batch-invariant textures); every
+            # accessor then samples trilinearly with derivative-driven LOD
+            # (ops/sampling.py MipSampler). Reference delegates the same
+            # duty to the GL driver (texture.py:82-137).
+            return ops.mip_pyramid(sampler)
+        return sampler
 
     def texture(self, sampler, uv):
         """GLSL texture(): accepts a Sampler2D or a texture name."""

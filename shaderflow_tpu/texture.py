@@ -64,8 +64,21 @@ class ShaderTexture(ShaderModule):
         self._filter = filter
         self.repeat_x = bool(repeat_x)
         self.repeat_y = bool(repeat_y)
-        self.mipmaps = bool(mipmaps)       # accepted for API parity; sampling is single-level
-        self.anisotropy = int(anisotropy)  # accepted for API parity
+        # mipmaps=True is honored: Frag.tex() builds the pyramid in-jit and
+        # samples trilinearly with derivative-driven LOD (ops/sampling.py
+        # MipSampler) — the reference delegates the same duty to the GL
+        # driver (/root/reference/shaderflow/texture.py:82-137).
+        self.mipmaps = bool(mipmaps)
+        # Anisotropic filtering is NOT implemented (mip LOD uses the
+        # isotropic max-footprint rule); warn when a non-default value is
+        # requested so the gap is never silent.
+        self.anisotropy = int(anisotropy)
+        if self.anisotropy != 16:
+            from shaderflow_tpu import logger
+            logger.warn(
+                f"Texture {name!r}: anisotropy=x{self.anisotropy} requested, "
+                "but anisotropic filtering is not implemented (isotropic mip "
+                "LOD only)")
         self._track = float(track)
         self.final = bool(final)
 
