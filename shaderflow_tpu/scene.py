@@ -559,6 +559,14 @@ class ShaderScene(ShaderModule):
                 cv2.setMouseCallback(self.title, self._cv2_mouse_event)
             except Exception:
                 preview = None
+        if preview is not None:
+            # Full-fidelity key source where an X server exists (exact
+            # KeyDown/KeyUp incl. Shift/Ctrl/Alt — held-key camera nav and
+            # modifier intercepts need release events that cv2.waitKey
+            # cannot express); AutoReleaseKeys is the lossy fallback.
+            from shaderflow_tpu.io.x11keys import AutoReleaseKeys, X11Keymap
+            self._keymap = X11Keymap()
+            self._autorelease = AutoReleaseKeys()
 
         self.vsync = self.scheduler.new(
             task=self._realtime_frame,
@@ -600,13 +608,48 @@ class ShaderScene(ShaderModule):
             if self.render_ui:
                 frame = self._draw_hud(frame.copy())
             cv2.imshow(self.title, frame[..., ::-1])
-            key = cv2.waitKey(1) & 0xFF
-            if key == 27:  # ESC
-                self.quit = True
-            elif key != 255:
-                self.relay(ShaderMessage.Keyboard.KeyDown(key=key))
+            self._poll_input(cv2.waitKey(1) & 0xFF)
         else:
             np.asarray(frames)  # realize the computation for honest pacing
+
+    def _poll_input(self, waitkey_code: int, now: float = None) -> None:
+        """Per-frame keyboard input for the preview (reference event
+        fidelity: glfw key callbacks deliver press AND release with
+        modifiers, /root/reference/shaderflow/scene.py key events +
+        camera.py:240-278 held-key navigation).
+
+        Primary source: the X11 keymap poller (exact transitions, incl.
+        Shift/Ctrl/Alt). Fallback (no X server): cv2 waitKey autorepeat
+        codes — lowercase letters normalized to the key table, repeats
+        suppressed, releases synthesized when the repeat train goes quiet,
+        modifiers unavailable (see io/x11keys.py)."""
+        Keyboard = ShaderMessage.Keyboard
+        keymap = getattr(self, "_keymap", None)
+        if keymap is not None and keymap.active:
+            downs, ups = keymap.poll()
+            for code in downs:
+                if code == ShaderKeyboard.Keys.ESCAPE:
+                    self.quit = True
+                self.relay(Keyboard.KeyDown(key=code))
+            for code in ups:
+                self.relay(Keyboard.KeyUp(key=code))
+            return
+        import time as _time
+        now = _time.monotonic() if now is None else now
+        auto = getattr(self, "_autorelease", None)
+        if auto is None:
+            from shaderflow_tpu.io.x11keys import AutoReleaseKeys
+            auto = self._autorelease = AutoReleaseKeys()
+        key = waitkey_code
+        if key == 27:  # ESC
+            self.quit = True
+        elif key != 255:
+            if ord("a") <= key <= ord("z"):
+                key -= 32  # key table is uppercase; waitKey yields ASCII
+            if auto.feed(key, now):
+                self.relay(Keyboard.KeyDown(key=key))
+        for code in auto.poll(now):
+            self.relay(Keyboard.KeyUp(key=code))
 
     _mouse_drag_time_factor: float = 4.0
     """Seconds scrubbed when an Alt+drag travels the full window height."""
