@@ -278,6 +278,24 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
                f"{self.minimum_frequency:.0f}-{self.maximum_frequency:.0f} Hz")
         yield f"device sequence: {self.texture.sequence is not None}"
 
+    def ui_fields(self):
+        from shaderflow_tpu.module import UIField
+
+        def set_min(value):
+            self.minimum_frequency = min(value, self.maximum_frequency / 2)
+
+        def set_max(value):
+            self.maximum_frequency = max(value, self.minimum_frequency * 2)
+
+        # The band matrix rebuilds lazily on the (min, max, bins) key; edits
+        # take effect on the next update()
+        return [
+            UIField("min Hz", lambda: self.minimum_frequency, set_min,
+                    step=10.0, minimum=1.0, fmt="{:.0f}"),
+            UIField("max Hz", lambda: self.maximum_frequency, set_max,
+                    step=500.0, minimum=10.0, fmt="{:.0f}"),
+        ]
+
     def pipeline(self):
         yield Uniform("int", f"{self.name}Length", self.length_samples)
         yield Uniform("int", f"{self.name}Bins", self.spectrogram_bins)

@@ -89,6 +89,24 @@ class ShaderCamera(ShaderModule):
         yield (f"orbital {float(self.orbital.value):.2f}  "
                f"dolly {float(self.dolly.value):.2f}")
 
+    def ui_fields(self):
+        from shaderflow_tpu.module import UIField
+
+        def target_setter(dynamics):
+            def set(value):
+                dynamics.target = value
+            return set
+
+        return [
+            UIField("zoom", lambda: float(self.zoom.target),
+                    target_setter(self.zoom), step=0.05, minimum=0.01),
+            UIField("isometric", lambda: float(self.isometric.target),
+                    target_setter(self.isometric), step=0.05,
+                    minimum=0.0, maximum=1.0),
+            UIField("dolly", lambda: float(self.dolly.target),
+                    target_setter(self.dolly), step=0.05),
+        ]
+
     def __init__(self, scene=None, name: str = "iCamera",
                  mode=CameraMode.Camera2D, projection=CameraProjection.Perspective, **kwargs):
         self.mode = CameraMode(mode)

@@ -69,6 +69,25 @@ class ShaderDynamics(ShaderModule, DynamicNumber):
         yield f"f={self.frequency:.2f}  z={self.zeta:.2f}  r={self.response:.2f}"
         yield "value " + " ".join(f"{v:+.3f}" for v in value[:4])
 
+    def ui_fields(self):
+        from shaderflow_tpu.module import UIField
+
+        def setter(attr):
+            def set(value):
+                setattr(self, attr, value)
+            return set
+
+        # f = 0 would freeze the system solid (k1/k2 blow up); keep strictly
+        # positive. zeta/response may be anything the reference's sliders
+        # allow (zeta < 0 self-oscillates, response < 0 anticipates).
+        return [
+            UIField("f", lambda: self.frequency, setter("frequency"),
+                    step=0.1, minimum=0.01),
+            UIField("zeta", lambda: self.zeta, setter("zeta"), step=0.1),
+            UIField("response", lambda: self.response, setter("response"),
+                    step=0.1),
+        ]
+
     def pipeline(self) -> Iterable[ShaderVariable]:
         kind = self.type
         if not kind:

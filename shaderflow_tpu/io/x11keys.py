@@ -28,6 +28,8 @@ _KEYSYM_TO_KEY = {
     0xFFE1: _Keys.LEFT_SHIFT, 0xFFE3: _Keys.LEFT_CTRL, 0xFFE9: _Keys.LEFT_ALT,
     0xFF1B: _Keys.ESCAPE, 0xFF0D: _Keys.ENTER, 0xFF09: _Keys.TAB,
     0x0020: _Keys.SPACE, 0x005B: _Keys.BRACKET_LEFT, 0x005D: _Keys.BRACKET_RIGHT,
+    0x002C: _Keys.COMMA, 0x002E: _Keys.PERIOD,
+    0x002D: _Keys.MINUS, 0x003D: _Keys.EQUAL, 0x002B: _Keys.PLUS,
 }
 for _index in range(12):  # XK_F1 = 0xFFBE
     _KEYSYM_TO_KEY[0xFFBE + _index] = _Keys.F1 + _index

@@ -31,6 +31,11 @@ class _Keys:
     SPACE = ord(" ")
     BRACKET_LEFT = ord("[")
     BRACKET_RIGHT = ord("]")
+    COMMA = ord(",")
+    PERIOD = ord(".")
+    MINUS = ord("-")
+    EQUAL = ord("=")
+    PLUS = ord("+")
     TAB = 9
     ESCAPE = 27
     ENTER = 13

@@ -167,3 +167,38 @@ class ShaderModule:
         the headless equivalent of the reference's per-module imgui __ui__
         panels (reference scene.py:856-932, module.py:156-166)."""
         return []
+
+    def ui_fields(self) -> list["UIField"]:
+        """Editable HUD fields for this module's panel — the interactive
+        half of the reference's imgui sliders (reference module.py:156-166,
+        e.g. DynamicNumber's f/zeta/r drag-floats). With this module's
+        panel selected ([ / ]), ',' / '.' select a field and '-' / '+'
+        nudge it by `step` (Shift: x10, Ctrl: x0.1)."""
+        return []
+
+
+class UIField:
+    """One editable scalar on a module's HUD panel."""
+
+    def __init__(self, label: str, get, set, step: float = 0.1,
+                 minimum: float = None, maximum: float = None,
+                 fmt: str = "{:+.3f}"):
+        self.label = label
+        self.get = get
+        self.set = set
+        self.step = float(step)
+        self.minimum = minimum
+        self.maximum = maximum
+        self.fmt = fmt
+
+    def nudge(self, direction: float, scale: float = 1.0) -> float:
+        value = float(self.get()) + direction * self.step * scale
+        if self.minimum is not None:
+            value = max(self.minimum, value)
+        if self.maximum is not None:
+            value = min(self.maximum, value)
+        self.set(value)
+        return value
+
+    def render(self) -> str:
+        return f"{self.label} " + self.fmt.format(float(self.get()))

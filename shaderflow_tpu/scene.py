@@ -143,8 +143,10 @@ class ShaderScene(ShaderModule):
         self.batch_preludes: dict[str, Any] = {}
         # Module-registered CLI commands (module.register_command)
         self._commands: dict[str, Any] = {}
-        # HUD panel navigation ([ / ] select the expanded module panel)
+        # HUD panel navigation ([ / ] select the expanded module panel,
+        # , / . select an editable field, - / + nudge it)
         self._ui_index: int = 0
+        self._ui_field_index: int = 0
 
         self.frametimer: Optional[ShaderFrametimer] = None
         self.keyboard: Optional[ShaderKeyboard] = None
@@ -651,6 +653,24 @@ class ShaderScene(ShaderModule):
         for code in auto.poll(now):
             self.relay(Keyboard.KeyUp(key=code))
 
+    def _ui_selected_module(self):
+        others = [m for m in self.modules if m is not self]
+        return others[self._ui_index % len(others)] if others else None
+
+    def _ui_nudge(self, direction: float) -> None:
+        module = self._ui_selected_module()
+        fields = module.ui_fields() if module is not None else []
+        if not fields:
+            return
+        field = fields[self._ui_field_index % len(fields)]
+        scale = 1.0
+        if self.keyboard(ShaderKeyboard.Keys.LEFT_SHIFT):
+            scale = 10.0
+        elif self.keyboard(ShaderKeyboard.Keys.LEFT_CTRL):
+            scale = 0.1
+        value = field.nudge(direction, scale)
+        logger.info(f"(-/+) {type(module).__name__} {field.label} -> {value:g}")
+
     _mouse_drag_time_factor: float = 4.0
     """Seconds scrubbed when an Alt+drag travels the full window height."""
 
@@ -741,6 +761,10 @@ class ShaderScene(ShaderModule):
                 try:
                     for panel_line in module.ui() or []:
                         lines.append(f"      {panel_line}")
+                    fields = module.ui_fields()
+                    for index, field in enumerate(fields):
+                        edit = "*" if index == self._ui_field_index % len(fields) else " "
+                        lines.append(f"     {edit}{field.render()}   (-/+ edit)")
                 except Exception as error:
                     lines.append(f"      ui() error: {error}")
         for index, text in enumerate(lines[:28]):
@@ -772,8 +796,22 @@ class ShaderScene(ShaderModule):
                 self.render_ui = not self.render_ui
             elif message.key == ShaderKeyboard.Keys.BRACKET_LEFT:
                 self._ui_index -= 1
+                self._ui_field_index = 0
             elif message.key == ShaderKeyboard.Keys.BRACKET_RIGHT:
                 self._ui_index += 1
+                self._ui_field_index = 0
+            elif message.key == ShaderKeyboard.Keys.COMMA:
+                self._ui_field_index -= 1
+            elif message.key == ShaderKeyboard.Keys.PERIOD:
+                self._ui_field_index += 1
+            elif message.key in (ShaderKeyboard.Keys.MINUS,
+                                 ShaderKeyboard.Keys.EQUAL,
+                                 ShaderKeyboard.Keys.PLUS):
+                # Live parameter editing on the selected panel field (the
+                # reference's imgui drag-floats, scene.py:856-932): -/+
+                # nudge by the field's step; Shift x10, Ctrl x0.1
+                self._ui_nudge(-1.0 if message.key == ShaderKeyboard.Keys.MINUS
+                               else +1.0)
             elif message.key == ShaderKeyboard.Keys.F1:
                 logger.info("(F1 ) Toggling exclusive mode")
                 self.exclusive = not self.exclusive

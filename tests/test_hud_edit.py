@@ -1,0 +1,137 @@
+"""Interactive HUD v2: editable per-module panel fields (VERDICT r2 #10).
+
+The reference's imgui overlay exposes per-module panels with editable state
+(/root/reference/shaderflow/scene.py:856-932, module.py:156-166 — e.g.
+DynamicNumber's f/zeta/r drag-floats). Here modules declare UIField entries
+via ui_fields(); the HUD edits them with , / . (select) and - / + (nudge,
+Shift x10 / Ctrl x0.1) — driven entirely through the Keyboard message bus,
+so the same path works from the X11 poller or the waitKey fallback.
+"""
+
+import numpy as np
+
+from shaderflow_tpu.keyboard import ShaderKeyboard
+from shaderflow_tpu.message import ShaderMessage
+from shaderflow_tpu.scene import ShaderScene
+
+Keys = ShaderKeyboard.Keys
+
+
+def key(scene, code):
+    scene.relay(ShaderMessage.Keyboard.KeyDown(key=code))
+
+
+def select_module(scene, module) -> None:
+    others = [m for m in scene.modules if m is not scene]
+    scene._ui_index = others.index(module)
+    scene._ui_field_index = 0
+
+
+def make_scene():
+    scene = ShaderScene()
+    scene._setup_run(width=16, height=8, fps=10, time=0.1, freewheel=True)
+    return scene
+
+
+def test_dynamics_f_zeta_r_editable():
+    """Camera dynamics f/zeta/r — the top panel VERDICT asks for."""
+    scene = make_scene()
+    dynamics = scene.camera.position  # a ShaderDynamics module
+    select_module(scene, dynamics)
+
+    f0 = dynamics.frequency
+    key(scene, Keys.PLUS)
+    assert np.isclose(dynamics.frequency, f0 + 0.1)
+    key(scene, Keys.MINUS)
+    key(scene, Keys.MINUS)
+    assert np.isclose(dynamics.frequency, f0 - 0.1)
+
+    # '.' selects zeta, then response
+    key(scene, Keys.PERIOD)
+    z0 = dynamics.zeta
+    key(scene, Keys.EQUAL)  # unshifted '+' key
+    assert np.isclose(dynamics.zeta, z0 + 0.1)
+    key(scene, Keys.PERIOD)
+    r0 = dynamics.response
+    key(scene, Keys.MINUS)
+    assert np.isclose(dynamics.response, r0 - 0.1)
+
+
+def test_modifier_scales_step():
+    scene = make_scene()
+    dynamics = scene.camera.position
+    select_module(scene, dynamics)
+
+    f0 = dynamics.frequency
+    scene.keyboard._pressed[Keys.LEFT_SHIFT] = True
+    key(scene, Keys.PLUS)
+    assert np.isclose(dynamics.frequency, f0 + 1.0)  # x10
+
+    scene.keyboard._pressed[Keys.LEFT_SHIFT] = False
+    scene.keyboard._pressed[Keys.LEFT_CTRL] = True
+    key(scene, Keys.PLUS)
+    assert np.isclose(dynamics.frequency, f0 + 1.0 + 0.01)  # x0.1
+
+
+def test_field_bounds_clamp():
+    """frequency has a positive floor — hammering '-' cannot freeze the
+    second-order system."""
+    scene = make_scene()
+    dynamics = scene.camera.position
+    select_module(scene, dynamics)
+    scene.keyboard._pressed[Keys.LEFT_SHIFT] = True
+    for _ in range(10):
+        key(scene, Keys.MINUS)
+    assert dynamics.frequency >= 0.01
+
+
+def test_spectrogram_range_editable():
+    """Spectrogram min/max Hz — the second panel VERDICT asks for. The band
+    matrix rebuilds from the (min, max, bins) key on the next update."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent.parent / "examples" / "basic"))
+    import demo
+
+    scene = demo.Visualizer()
+    scene._setup_run(width=32, height=16, fps=10, time=0.1, freewheel=True)
+    spectrogram = next(m for m in scene.modules
+                       if type(m).__name__ == "ShaderSpectrogram")
+    select_module(scene, spectrogram)
+
+    min0 = spectrogram.minimum_frequency
+    key(scene, Keys.PLUS)
+    assert np.isclose(spectrogram.minimum_frequency, min0 + 10.0)
+
+    key(scene, Keys.PERIOD)
+    max0 = spectrogram.maximum_frequency
+    key(scene, Keys.MINUS)
+    assert np.isclose(spectrogram.maximum_frequency, max0 - 500.0)
+
+
+def test_camera_zoom_field():
+    scene = make_scene()
+    select_module(scene, scene.camera)
+    zoom0 = float(scene.camera.zoom.target)
+    key(scene, Keys.PLUS)
+    assert np.isclose(float(scene.camera.zoom.target), zoom0 + 0.05)
+
+
+def test_hud_renders_fields_with_marker():
+    import cv2  # noqa: F401  (HUD drawing needs cv2; headless-safe)
+
+    scene = make_scene()
+    select_module(scene, scene.camera.position)
+    scene._preview = cv2
+    frame = np.zeros((240, 320, 3), np.uint8)
+    out = scene._draw_hud(frame.copy())
+    assert out.std() > 0  # panel text drew something
+
+
+def test_bracket_cycle_resets_field_selection():
+    scene = make_scene()
+    select_module(scene, scene.camera.position)
+    key(scene, Keys.PERIOD)
+    assert scene._ui_field_index == 1
+    key(scene, Keys.BRACKET_RIGHT)
+    assert scene._ui_field_index == 0
