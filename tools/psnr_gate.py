@@ -1,0 +1,201 @@
+"""
+On-device PSNR parity gate (VERDICT r2 #5).
+
+One command regenerates a dated PSNR table (PSNR_GATE.md) on the REAL
+device, so kernel/precision work (bf16 tails, Pallas changes) cannot land
+on vibes: run this after any kernel change and eyeball the table.
+
+Two kinds of checks, mirroring BENCHMARKS.md's parity section:
+
+- ORACLE rows: engine output vs the independent NumPy GL transcription
+  (tools/gl_oracle.py) — absolute parity with the reference GLSL
+  (acceptance bar from BASELINE.md: >= 40 dB).
+- FUSED-vs-REF rows: the fused Pallas tail path vs the same engine with
+  SHADERFLOW_NO_TAILFUSE=1 (reference semantics by construction) — isolates
+  what the fused kernel's polynomial/bf16 math costs, scene by scene.
+
+Each config runs in its own subprocess (env knobs are trace-time, and the
+device/jit state stays isolated, same pattern as tools/bench_all.py).
+Run on the real chip with nothing else using it; pass --cpu for a smoke run.
+
+Usage: python tools/psnr_gate.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+sys.path.insert(0, str(REPO / "examples" / "basic"))
+sys.path.insert(0, str(REPO / "examples" / "fractals"))
+
+BAR_DB = 40.0
+
+# name -> (scene key, width, height, ssaa, subsample, frames, scene kwargs)
+ORACLE_CONFIGS = {
+    "default (welcome) ssaa=1": ("basic", 512, 288, 1.0, 1, 3, {}),
+    "default (welcome) ssaa=2": ("basic", 512, 288, 2.0, 2, 3, {}),
+    "mandelbrot (escape kernel + fused tail)":
+        ("mandelbrot", 320, 180, 2.0, 2, 2, {"quality": 5}),
+}
+
+FUSED_CONFIGS = {
+    "visualizer": ("visualizer", 640, 360, 2.0, 2, 2, {}),
+    "pianoroll": ("pianoroll", 192, 108, 1.0, 2, 2, {}),
+    "julia": ("julia", 320, 180, 2.0, 2, 2, {"quality": 5}),
+    "tetration": ("tetration", 320, 180, 2.0, 2, 2, {}),
+}
+
+
+def scene_class(key: str):
+    import demo
+    import fractals
+    import piano_roll
+    return {
+        "basic": demo.Basic,
+        "visualizer": demo.Visualizer,
+        "mandelbrot": fractals.Mandelbrot,
+        "julia": fractals.Julia,
+        "tetration": fractals.Tetration,
+        "pianoroll": piano_roll.PianoRoll,
+    }[key]
+
+
+def render_frames(key, width, height, ssaa, subsample, frames, kwargs):
+    """Render `frames` frames through the real engine pipeline; return
+    (frames u8 array, merged per-frame uniform dicts)."""
+    scene = scene_class(key)(**kwargs)
+    scene._setup_run(fps=10, time=frames / 10, freewheel=True,
+                     width=width, height=height, ssaa=ssaa,
+                     subsample=subsample)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(frames):
+        scene.next(dt=scene.frametime)
+    uniforms = []
+    for snapshot in engine._frame_uniforms:
+        merged = dict(engine._statics)
+        merged.update(snapshot)
+        uniforms.append(merged)
+    out = np.asarray(engine.flush(frames))
+    return out, uniforms, scene
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def worker_oracle(name: str) -> None:
+    import gl_oracle
+    key, w, h, ssaa, sub, n, kwargs = ORACLE_CONFIGS[name]
+    frames, uniforms, scene = render_frames(key, w, h, ssaa, sub, n, kwargs)
+    fragment = {"basic": gl_oracle.default_fragment,
+                "mandelbrot": gl_oracle.mandelbrot_fragment}[key]
+    worst = float("inf")
+    for index, uniform in enumerate(uniforms):
+        merged = dict(uniform)
+        if key == "mandelbrot":
+            merged.setdefault("iQuality", merged.get("iQualityS", 0.05))
+        oracle = gl_oracle.render_scene(
+            fragment, merged, *scene.render_resolution,
+            w, h, sub, scene.aspect_ratio)
+        worst = min(worst, gl_oracle.psnr(frames[index], oracle))
+    print(json.dumps({"name": name, "psnr": round(worst, 1)}))
+
+
+def worker_render(name: str, out_path: str) -> None:
+    key, w, h, ssaa, sub, n, kwargs = FUSED_CONFIGS[name]
+    frames, _, _ = render_frames(key, w, h, ssaa, sub, n, kwargs)
+    np.save(out_path, frames)
+
+
+def run_worker(argv: list[str], extra_env: dict | None = None) -> str:
+    env = dict(os.environ, **(extra_env or {}))
+    if env.get("JAX_PLATFORMS") == "cpu":
+        # The axon sitecustomize registers the remote TPU PJRT plugin off
+        # these; JAX_PLATFORMS=cpu alone is not enough (see __graft_entry__).
+        for key in ("JAX_PLATFORM_NAME", "TPU_LIBRARY_PATH",
+                    "PALLAS_AXON_POOL_IPS"):
+            env.pop(key, None)
+    proc = subprocess.run([sys.executable, str(Path(__file__).resolve()), *argv],
+                          env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"worker {argv} failed")
+    return proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+
+
+def main() -> None:
+    cpu = "--cpu" in sys.argv
+    base_env = {"JAX_PLATFORMS": "cpu", "SHADERFLOW_NO_COMPILE_CACHE": "1"} if cpu else {}
+    rows = []
+
+    for name in ORACLE_CONFIGS:
+        print(f"== oracle: {name} ==", file=sys.stderr, flush=True)
+        line = run_worker(["--worker-oracle", name], base_env)
+        result = json.loads(line)
+        rows.append(("oracle", name, result["psnr"], None))
+        print(line, file=sys.stderr, flush=True)
+
+    import tempfile
+    for name in FUSED_CONFIGS:
+        print(f"== fused-vs-ref: {name} ==", file=sys.stderr, flush=True)
+        with tempfile.TemporaryDirectory() as tmp:
+            fused, ref = f"{tmp}/fused.npy", f"{tmp}/ref.npy"
+            run_worker(["--worker-render", name, fused], base_env)
+            run_worker(["--worker-render", name, ref],
+                       dict(base_env, SHADERFLOW_NO_TAILFUSE="1"))
+            a, b = np.load(fused), np.load(ref)
+            value = psnr(a, b)
+            step = int(np.abs(a.astype(np.int16) - b.astype(np.int16)).max())
+            rows.append(("fused-vs-ref", name, round(value, 1), step))
+            print(f"{name}: {value:.1f} dB, max {step} u8 step",
+                  file=sys.stderr, flush=True)
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    import jax
+    device = "CPU (smoke)" if cpu else str(jax.devices()[0])
+    lines = [
+        "# PSNR parity gate",
+        "",
+        f"Measured {stamp} on `{device}` (`python tools/psnr_gate.py`).",
+        f"Acceptance bar (BASELINE.md): >= {BAR_DB:.0f} dB. Regenerate after",
+        "any kernel/precision change; BENCHMARKS.md cites this table.",
+        "",
+        "| Check | Config | PSNR | Max u8 step | >= 40 dB |",
+        "|---|---|---|---|---|",
+    ]
+    failed = []
+    for kind, name, value, step in rows:
+        ok = value >= BAR_DB
+        if not ok:
+            failed.append(name)
+        lines.append(f"| {kind} | {name} | {value:.1f} dB "
+                     f"| {'—' if step is None else step} "
+                     f"| {'yes' if ok else '**NO**'} |")
+    lines.append("")
+    (REPO / "PSNR_GATE.md").write_text("\n".join(lines))
+    print("\n".join(lines))
+    if failed:
+        print(f"GATE FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    if "--worker-oracle" in sys.argv:
+        worker_oracle(sys.argv[sys.argv.index("--worker-oracle") + 1])
+    elif "--worker-render" in sys.argv:
+        index = sys.argv.index("--worker-render")
+        worker_render(sys.argv[index + 1], sys.argv[index + 2])
+    else:
+        main()
