@@ -68,7 +68,8 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                    tile: tuple[int, int] = (256, 256),
                    unroll: int = 8, interior: Array = None,
                    saturate: int = None, sub_rows: int = 16,
-                   monotone: bool = False) -> Array:
+                   monotone: bool = False,
+                   predicted_rounds: Array = None) -> Array:
     r2 = radius * radius
     height, width = zx0.shape
     th = min(tile[0], height)
@@ -86,6 +87,11 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
     n_sub = pl.cdiv(th, sub)
 
     def kernel(*refs):
+        if predicted_rounds is not None:
+            pred_ref = refs[0]
+            refs = refs[1:]
+        else:
+            pred_ref = None
         if interior is not None:
             zx_ref, zy_ref, cx_ref, cy_ref, int_ref, out_ref = refs
         else:
@@ -194,9 +200,33 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                 if int_ref is not None:
                     active0 = active0 * (1.0 - int_ref[r0:r1, :])
             iters0 = jnp.zeros_like(zx_t)
+            state = (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0)
+            if pred_ref is not None:
+                # Predicted-rounds fast path: the caller supplies a per-sub-
+                # block LOWER bound on the rounds this block needs (from a
+                # decimated escape pass — a subset's max can never exceed the
+                # block's max, so the bound cannot over-run). These rounds
+                # execute under a fori_loop whose cond is a pure SCALAR
+                # compare: no per-round cross-vector aliveness reduction and
+                # no VPU->scalar readback stall (~200 ns/round on v5e, and
+                # saturated boundary blocks pay ceil(cap/unroll) of them).
+                # The while loop below mops up any under-prediction with the
+                # exact early-exit semantics — counts stay bit-identical
+                # because the step math and counting are unchanged.
+                # 2D prefetch layout (sub-block row, tile column — the same
+                # shape tailfuse's window indices use); clamped in-kernel so
+                # the loop bound is ALWAYS <= the checked loop's own maximum:
+                # even a corrupt prefetch value cannot hang the kernel, and
+                # over-running rounds never corrupts counts (dead pixels stop
+                # counting on their own — the count path is monotone).
+                pred = pred_ref[pl.program_id(0) * n_sub + s,
+                                pl.program_id(1)]
+                pred = jnp.minimum(jnp.maximum(pred, 0),
+                                   main_end // unroll)
+                state = jax.lax.fori_loop(
+                    0, pred, lambda _, st: body(st), state)
             _, zx_t, zy_t, x2_0, y2_0, iters, active0 = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0))
+                cond, body, state)
             # Static remainder (trip % unroll steps), masked like any other
             # step — runs even for fully-escaped blocks (≤ unroll-1 steps).
             # Empty whenever trip is a full unroll multiple (always, for
@@ -215,17 +245,64 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                 iters = jnp.where(int_ref[r0:r1, :] > 0.5, max_iter, iters)
             out_ref[r0:r1, :] = iters
 
-    block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM)
     operands = [zx0, zy0, cx, cy]
     if interior is not None:
         operands.append(interior.astype(jnp.float32))
+    grid = (pl.cdiv(height, th), pl.cdiv(width, tw))
+    out_shape = jax.ShapeDtypeStruct((height, width), jnp.int32)
+    if predicted_rounds is not None:
+        # (n_ti, n_tj, n_sub) -> (n_ti * n_sub, n_tj): row = tile-row * n_sub
+        # + sub-block, column = tile-column (matches the in-kernel read)
+        pred = jnp.asarray(predicted_rounds, jnp.int32).reshape(
+            grid[0], grid[1], n_sub).transpose(0, 2, 1).reshape(
+            grid[0] * n_sub, grid[1])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[block] * len(operands), out_specs=block)
+        return pl.pallas_call(kernel, grid_spec=grid_spec,
+                              out_shape=out_shape)(pred, *operands)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
+        out_shape=out_shape,
         in_specs=[block] * len(operands),
-        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        grid=(pl.cdiv(height, th), pl.cdiv(width, tw)),
+        out_specs=block,
+        grid=grid,
     )(*operands)
+
+
+def _predict_rounds(zx0: Array, zy0: Array, cx: Array, cy: Array,
+                    trip: int, radius: float, interior: Array,
+                    unroll: int, th: int, tw: int, sub: int,
+                    dec: int = 16) -> Array:
+    """Per-sub-block LOWER bound on unroll-rounds, from a dec x dec
+    decimated escape pass (masked XLA fori — ~0.4% of the full field's
+    px-iters at dec=16). A subset's max trip never exceeds the block's, so
+    the bound cannot over-run; under-prediction (a deep pixel the decimation
+    missed) is mopped up by the kernel's exact early-exit while loop.
+    Interior-mask pixels never iterate in the kernel, so they predict 0.
+    Returns (n_ti, n_tj, n_sub) i32, or None when the geometry doesn't
+    decimate evenly."""
+    if sub % dec or tw % dec or th % sub:
+        return None
+    height, width = zx0.shape
+    zxd, zyd = zx0[::dec, ::dec], zy0[::dec, ::dec]
+    cxd, cyd = cx[::dec, ::dec], cy[::dec, ::dec]
+    intd = interior[::dec, ::dec] if interior is not None else None
+    trips = _escape_xla(zxd, zyd, cxd, cyd, trip, radius, interior=intd)
+    if intd is not None:
+        trips = jnp.where(intd, 0, trips)
+    n_ti, n_tj = pl.cdiv(height, th), pl.cdiv(width, tw)
+    n_sub = pl.cdiv(th, sub)
+    cr, cc = sub // dec, tw // dec
+    rows, cols = n_ti * n_sub * cr, n_tj * cc
+    trips = jnp.pad(trips, ((0, rows - trips.shape[0]),
+                            (0, cols - trips.shape[1])))
+    bmax = trips.reshape(n_ti * n_sub, cr, n_tj, cc).max((1, 3))
+    main_rounds = (trip - trip % unroll) // unroll
+    rounds = jnp.minimum((bmax + (unroll - 1)) // unroll, main_rounds)
+    return rounds.reshape(n_ti, n_sub, n_tj).transpose(0, 2, 1)
 
 
 _PALLAS_OK: dict[str, bool] = {}
@@ -291,12 +368,21 @@ def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,
         # exit granularity comes from in-kernel sub-blocks (sub_rows), not
         # the grid. v5e sweep @1080p60 2xSSAA q=50 in BENCHMARKS.md.
         tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "256x128")
-        unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "8"))
+        unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
         sub_rows = int(os.environ.get("SHADERFLOW_FRACTAL_SUB", "64"))
         th, tw = (int(x) for x in tile.split("x"))
+        th_eff, tw_eff = min(th, zx0.shape[0]), min(tw, zx0.shape[1])
+        sub_eff = max(8, min(sub_rows, th_eff))
+        predicted = None
+        if os.environ.get("SHADERFLOW_FRACTAL_PREDICT", "0") == "1":
+            trip = int(max_iter) if saturate is None else min(
+                int(max_iter), -(-int(saturate) // unroll) * unroll)
+            predicted = _predict_rounds(
+                zx0, zy0, cx, cy, trip, float(radius), interior,
+                unroll, th_eff, tw_eff, sub_eff)
         return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius),
                               tile=(th, tw), unroll=unroll, interior=interior,
                               saturate=saturate, sub_rows=sub_rows,
-                              monotone=monotone)
+                              monotone=monotone, predicted_rounds=predicted)
     return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius),
                        interior=interior, saturate=saturate)

@@ -99,3 +99,64 @@ def test_escape_counts_monotone_in_budget():
     many = np.asarray(_escape_xla(cx, cy, cx, cy, 200, 3.0))
     assert np.all(many >= few)
     assert many.max() == 200  # interior pixels exist in this view
+
+
+def test_predict_rounds_is_lower_bound():
+    """Decimated prediction never exceeds the true block round count (a
+    subset's max can't beat the block max), and interior predicts 0."""
+    from shaderflow_tpu.ops.fractal import _interior_mask, _predict_rounds
+
+    h, w, th, tw, sub, unroll, dec = 128, 256, 64, 128, 32, 8, 16
+    cx, cy = grid(h, w)
+    interior = _interior_mask(cx, cy)
+    pred = np.asarray(_predict_rounds(cx, cy, cx, cy, 96, 3.0, interior,
+                                      unroll, th, tw, sub, dec=dec))
+    trips = np.asarray(_escape_xla(cx, cy, cx, cy, 96, 3.0,
+                                   interior=interior))
+    trips = np.where(np.asarray(interior), 0, trips)
+    n_ti, n_tj, n_sub = pred.shape
+    for ti in range(n_ti):
+        for tj in range(n_tj):
+            for s in range(n_sub):
+                r0 = ti * th + s * sub
+                block = trips[r0:r0 + sub, tj * tw:(tj + 1) * tw]
+                true_rounds = int(np.ceil(block.max() / unroll))
+                assert pred[ti, tj, s] <= true_rounds
+
+
+def test_predicted_rounds_bit_identical():
+    """Prediction only changes WHICH loop runs the rounds (scalar-cond fori
+    vs vector-cond while); iteration counts must not move by one ULP."""
+    from jax.experimental.pallas import tpu as pltpu
+    from shaderflow_tpu.ops.fractal import _interior_mask, _predict_rounds
+
+    h, w, th, tw, sub, unroll = 128, 256, 64, 128, 32, 8
+    cx, cy = grid(h, w)
+    interior = _interior_mask(cx, cy)
+    pred = _predict_rounds(cx, cy, cx, cy, 96, 3.0, interior,
+                           unroll, th, tw, sub, dec=16)
+    assert pred is not None
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(_escape_pallas(
+            cx, cy, cx, cy, 96, 3.0, tile=(th, tw), unroll=unroll,
+            sub_rows=sub, interior=interior, monotone=True))
+        fast = np.asarray(_escape_pallas(
+            cx, cy, cx, cy, 96, 3.0, tile=(th, tw), unroll=unroll,
+            sub_rows=sub, interior=interior, monotone=True,
+            predicted_rounds=pred))
+        # A deliberately-wrong UNDER-prediction must also be exact (the
+        # mop-up while covers it), including all-zeros
+        zero = np.asarray(_escape_pallas(
+            cx, cy, cx, cy, 96, 3.0, tile=(th, tw), unroll=unroll,
+            sub_rows=sub, interior=interior, monotone=True,
+            predicted_rounds=jnp.zeros_like(pred)))
+    np.testing.assert_array_equal(base, fast)
+    np.testing.assert_array_equal(base, zero)
+
+
+def test_predict_geometry_guard():
+    """Non-decimatable geometry returns None (caller skips prediction)."""
+    from shaderflow_tpu.ops.fractal import _predict_rounds
+    cx, cy = grid(64, 128)
+    assert _predict_rounds(cx, cy, cx, cy, 96, 3.0, None,
+                           8, 64, 128, 24, dec=16) is None
