@@ -587,6 +587,21 @@ class RenderEngine:
                 self._carry, packed, streams, self._static_tex, self._sequences)
             return frames_u8[:count] if packed.shape[0] > count else frames_u8
 
+        if self.mesh is not None:
+            # Row-sharded GSPMD path for temporal-feedback scenes: the frame
+            # scan stays global, textures/frames split on pixel rows
+            # (parallel/mesh.py:shard_row_renderer). No batch-divisibility
+            # requirement (the batch axis is unsharded).
+            packed, spec, streams = self.stack_captures(count, pad_to)
+            sharded, carry_shardings = self._row_sharded(spec)
+            for name, sharding in carry_shardings.items():
+                leaf = self._carry[name]
+                if getattr(leaf, "sharding", None) != sharding:
+                    self._carry[name] = jax.device_put(leaf, sharding)
+            self._carry, frames_u8 = sharded(
+                self._carry, packed, streams, self._static_tex, self._sequences)
+            return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
+
         packed, spec, streams = self.stack_captures(count, pad_to)
 
         before = self._jitted._cache_size()
@@ -610,6 +625,24 @@ class RenderEngine:
                 return render(carry, packed, streams, statics, sequences, spec)
 
             self._sharded_cache[key] = shard_frame_renderer(step, self.mesh)
+        return self._sharded_cache[key]
+
+    def _row_sharded(self, spec):
+        """Cached row-sharded wrapper (temporal-feedback scenes)."""
+        carry_shapes = {name: tuple(leaf.shape)
+                        for name, leaf in self._carry.items()}
+        key = ("rows", id(self._render_fn), spec,
+               tuple(sorted(carry_shapes.items())))
+        if key not in self._sharded_cache:
+            from shaderflow_tpu.parallel.mesh import shard_row_renderer
+            render = self._render_fn
+
+            def step(carry, packed, streams, statics, sequences):
+                return render(carry, packed, streams, statics, sequences, spec)
+
+            out_width, out_height = self.scene._final.texture.resolution
+            self._sharded_cache[key] = shard_row_renderer(
+                step, self.mesh, carry_shapes, out_height)
         return self._sharded_cache[key]
 
     # ------------------------------------------------------------------ #

@@ -474,19 +474,27 @@ class ShaderScene(ShaderModule):
             from shaderflow_tpu.parallel.mesh import frame_mesh, supports_frame_sharding
             import jax
             available = len(jax.devices())
-            if not supports_frame_sharding(self):
-                logger.warning("Scene has temporal feedback; frame sharding "
-                               "is inexact — rendering on one chip")
-            elif available < devices:
+            if available < devices:
                 logger.warning(f"Requested {devices} devices, {available} "
                                f"available — rendering on one chip")
-            else:
+            elif supports_frame_sharding(self):
                 # Each flush pads to `size`, so sizing the batch to a
                 # multiple of the mesh keeps every launch shardable.
                 size = max(size, devices) // devices * devices
                 self.engine.mesh = frame_mesh(devices)
                 logger.info(f"Frame-sharded export over {devices} devices "
                             f"(batch {size}, {size // devices}/chip)")
+            elif self.height % devices == 0:
+                # Temporal feedback serializes frames; shard pixel rows
+                # instead (engine.flush row path, exact by construction)
+                self.engine.mesh = frame_mesh(devices)
+                logger.info(f"Row-sharded export over {devices} devices "
+                            f"(temporal feedback; {self.height // devices} "
+                            f"rows/chip)")
+            else:
+                logger.warning(f"Scene has temporal feedback and height "
+                               f"{self.height} does not divide {devices} "
+                               f"devices — rendering on one chip")
 
         # Resume: fast-forward module state to start_frame. Stateless scenes
         # (no temporal feedback) replay host updates only; feedback scenes

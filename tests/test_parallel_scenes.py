@@ -49,6 +49,41 @@ def test_graded_scene_sharded_export_bit_identical(scene_class, devices):
     np.testing.assert_array_equal(single, sharded)
 
 
+# Temporal-feedback scenes: frame sharding is inexact, so the ROW axis
+# shards instead (parallel/mesh.py:shard_row_renderer — GSPMD, XLA inserts
+# the halo exchanges Life's neighbor stencil needs). height=56 divides both
+# meshes; Life's fixed 192x108 simulation texture does NOT divide 8, which
+# exercises the replicated-leaf fallback alongside sharded output rows.
+@pytest.mark.parametrize("devices", [4, 8])
+@pytest.mark.parametrize("scene_class", [demo.MotionBlur, demo.Life],
+                         ids=lambda c: c.__name__)
+def test_feedback_scene_row_sharded_export_bit_identical(scene_class, devices):
+    frames = 11
+    single = export(scene_class, frames, height=56)
+    sharded = export(scene_class, frames, height=56, devices=devices)
+    assert single.shape == sharded.shape == (frames, 56, 96, 3)
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_row_sharded_flush_actually_shards():
+    """The feedback path must run on the mesh, not silently fall back:
+    the frames returned by flush carry a row-sharded layout."""
+    from shaderflow_tpu.parallel.mesh import frame_mesh
+
+    scene = demo.MotionBlur()
+    scene._setup_run(width=64, height=32, fps=10, time=1.0, freewheel=True)
+    scene.engine.mesh = frame_mesh(4)
+    scene.engine.begin_batch()
+    for _ in range(3):
+        scene.next(dt=scene.frametime)
+    frames = scene.engine.flush(3)
+    assert frames.shape == (3, 32, 64, 3)
+    assert len(frames.sharding.device_set) == 4
+    # and the carry stayed sharded for the next batch
+    carry = scene.engine._carry[scene.shader.name]
+    assert len(carry.sharding.device_set) == 4
+
+
 def test_flush_self_pads_without_pad_to():
     """Direct engine users: a frame-sharded flush whose count does not
     divide the mesh must pad itself instead of raising."""
