@@ -100,9 +100,13 @@ def ssaa_downsample(
         return box_downsample(render, subsample)
 
     # General path: subsample^2 bilinear taps per output pixel
-    # (final.glsl:21-29). The tap grid is axis-aligned over an axis-aligned
-    # resample, so every tap is a separable sample (MXU matmuls) — the
-    # pointwise formulation lowers to millions of serial gathers on TPU.
+    # (final.glsl:21-29). Every tap is the composition of two 1D linear
+    # interpolation operators (C_du over columns, R_dv over rows) and the
+    # tap grid is axis-aligned, so by linearity the whole tap sum
+    # factorizes: sum_{du,dv} C_du∘R_dv = (sum_du C_du)∘(sum_dv R_dv).
+    # The s^2-tap average collapses into ONE separable resample whose band
+    # matrices are the per-axis tap averages — 2 MXU matmuls total instead
+    # of 2*s^2 (identical math; summation order differs by matmul ULPs).
     tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
     u_centers = (jnp.arange(out_width, dtype=jnp.float32) + 0.5) / out_width
     v_centers = 1.0 - (jnp.arange(out_height, dtype=jnp.float32) + 0.5) / out_height
@@ -110,15 +114,25 @@ def ssaa_downsample(
     if subsample == 1:
         return sample_separable(tex, u_centers, v_centers)[..., :components]
 
+    from shaderflow_tpu.ops.sampling import _interp_matrix
     pixel_u = 1.0 / out_width
     pixel_v = 1.0 / out_height
-    acc = jnp.zeros((out_height, out_width, render.shape[2]), jnp.float32)
-    for x in range(subsample):
-        for y in range(subsample):
-            du = -pixel_u / 2.0 + (pixel_u / subsample) * (0.5 + x)
-            dv = -pixel_v / 2.0 + (pixel_v / subsample) * (0.5 + y)
-            acc = acc + sample_separable(tex, u_centers + du, v_centers + dv)
-    return acc[..., :components] / float(subsample * subsample)
+    w_cols = 0.0
+    w_rows = 0.0
+    for k in range(subsample):
+        du = -pixel_u / 2.0 + (pixel_u / subsample) * (0.5 + k)
+        dv = -pixel_v / 2.0 + (pixel_v / subsample) * (0.5 + k)
+        # Texel positions per sampling.sample_separable's conventions
+        w_cols = w_cols + _interp_matrix((u_centers + du) * rw - 0.5, rw, False)
+        w_rows = w_rows + _interp_matrix((1.0 - (v_centers + dv)) * rh - 0.5,
+                                         rh, False)
+    w_cols = w_cols / subsample                               # (Wo, Wr)
+    w_rows = w_rows / subsample                               # (Ho, Hr)
+    rows = jnp.einsum("oh,hwc->owc", w_rows, render,
+                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,owc->opc", w_cols, rows,
+                     preferred_element_type=jnp.float32)
+    return out[..., :components]
 
 
 def final_pass(render: Array, out_height: int, out_width: int, subsample: int = 2) -> Array:

@@ -45,6 +45,34 @@ def test_general_path_matches_pool_when_aligned():
     np.testing.assert_allclose(general, pooled, atol=1e-5)
 
 
+def test_general_path_collapsed_taps_match_explicit_loop():
+    """The general path collapses the subsample^2 bilinear taps into one
+    separable resample with tap-averaged band matrices (linearity). It must
+    match the explicit tap loop it replaced on a FRACTIONAL ratio (the
+    regime neither fast path covers), for down- and up-scaling."""
+    from shaderflow_tpu.ops.sampling import Sampler2D, sample_separable
+
+    rng = np.random.default_rng(11)
+    render = jnp.asarray(rng.random((15, 21, 3), np.float32))
+
+    for oh, ow, s in [(8, 9, 2), (8, 9, 3), (20, 30, 2)]:
+        got = np.asarray(ssaa_downsample(render, oh, ow, subsample=s))
+
+        tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
+        u = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+        v = 1.0 - (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
+        acc = jnp.zeros((oh, ow, 3), jnp.float32)
+        for x in range(s):
+            for y in range(s):
+                du = -1.0 / ow / 2 + (1.0 / ow / s) * (0.5 + x)
+                dv = -1.0 / oh / 2 + (1.0 / oh / s) * (0.5 + y)
+                acc = acc + sample_separable(tex, u + du, v + dv)
+        expected = np.asarray(acc / (s * s))
+
+        np.testing.assert_allclose(got, expected, atol=2e-6,
+                                   err_msg=f"{oh}x{ow} s={s}")
+
+
 def test_identity_when_same_resolution():
     render = jnp.asarray(np.random.default_rng(3).uniform(size=(6, 6, 3)).astype(np.float32))
     out = np.asarray(ssaa_downsample(render, 6, 6, subsample=1))
