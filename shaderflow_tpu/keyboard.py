@@ -49,9 +49,27 @@ class _Keys:
 class ShaderKeyboard(ShaderModule):
     Keys = _Keys
 
-    def __init__(self, scene=None, **kwargs):
+    def __init__(self, scene=None, export_keys: bool = False, **kwargs):
         self._pressed: dict[int, bool] = {}
+        # Per-key uniform export (iKeyW, iKeySpace, ...). The reference ships
+        # this disabled (an early return before the yields,
+        # /root/reference/shaderflow/keyboard.py:38-41 — one GL uniform
+        # upload per key per frame was the cost). Here uniforms pack into a
+        # single batched row (engine.stack_captures), so honoring the flag
+        # is cheap; default stays off for parity.
+        self.export_keys = bool(export_keys)
         super().__init__(scene=scene, **kwargs)
+
+    def pipeline(self):
+        if not self.export_keys:
+            return
+        from shaderflow_tpu.variable import Uniform
+        for name, code in vars(type(self).Keys).items():
+            if (name.startswith("_") or not isinstance(code, int)
+                    or name in ("ACTION_PRESS", "ACTION_RELEASE")):
+                continue
+            yield Uniform("bool", f"iKey{name.title().replace('_', '')}",
+                          self._pressed.get(code, False))
 
     @staticmethod
     def set_keymap(keymap) -> None:

@@ -292,3 +292,25 @@ def test_modifier_drags(monkeypatch):
     scene.relay = lambda m: (seen.append(m), original(m))
     scene._handle_drag(x=50, y=25, dx=5, dy=0, u=0.1, v=0, du=0.1, dv=0)
     assert type(seen[-1]).__name__ == "Drag"
+
+
+def test_per_key_uniform_export_opt_in():
+    """Per-key uniforms (reference keyboard.py:38-41 ships this disabled;
+    here export_keys=True honors it — packed uniforms make it cheap)."""
+    from shaderflow_tpu.message import ShaderMessage
+    from shaderflow_tpu.scene import ShaderScene
+
+    scene = ShaderScene()
+    scene._setup_run(width=16, height=8, fps=10, time=0.1, freewheel=True)
+    names = lambda: {v.name: v.value for v in scene.keyboard.pipeline()}
+    assert names() == {}  # parity: off by default
+
+    scene.keyboard.export_keys = True
+    exported = names()
+    assert exported["iKeyW"] is False
+    assert "iKeySpace" in exported and "iKeyLeftShift" in exported
+
+    scene.relay(ShaderMessage.Keyboard.KeyDown(key=scene.keyboard.Keys.W))
+    assert names()["iKeyW"] is True
+    scene.relay(ShaderMessage.Keyboard.KeyUp(key=scene.keyboard.Keys.W))
+    assert names()["iKeyW"] is False
