@@ -109,9 +109,30 @@ class ShaderCamera(ShaderModule):
 
     def __init__(self, scene=None, name: str = "iCamera",
                  mode=CameraMode.Camera2D, projection=CameraProjection.Perspective, **kwargs):
-        self.mode = CameraMode(mode)
-        self.projection = CameraProjection(projection)
+        self.mode = mode
+        self.projection = projection
         super().__init__(scene=scene, name=name, **kwargs)
+
+    # mode/projection coerce on ASSIGNMENT (not just construction): a raw
+    # string stored by `camera.mode = "free"` would silently fail every
+    # `mode == CameraMode.X` comparison downstream (the reference coerces
+    # via attrs converters, camera.py:71-90).
+
+    @property
+    def mode(self) -> CameraMode:
+        return self._mode
+
+    @mode.setter
+    def mode(self, value) -> None:
+        self._mode = CameraMode(value)
+
+    @property
+    def projection(self) -> CameraProjection:
+        return self._projection
+
+    @projection.setter
+    def projection(self, value) -> None:
+        self._projection = CameraProjection(value)
 
     def build(self) -> None:
         scene = self.scene

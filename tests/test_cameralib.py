@@ -119,3 +119,19 @@ def test_trivial_path_matches_generic():
             atol=2e-5, err_msg=field)
     np.testing.assert_array_equal(np.asarray(trivial.out_of_bounds),
                                   np.asarray(generic.out_of_bounds))
+
+
+def test_camera_mode_projection_coerce_on_assignment():
+    """`camera.mode = "free"` must coerce to the enum, not store a string
+    (the reference coerces via attrs converters, camera.py:71-90)."""
+    from shaderflow_tpu.camera import CameraMode, CameraProjection
+    from shaderflow_tpu.scene import ShaderScene
+
+    scene = ShaderScene()
+    scene._setup_run(width=16, height=8, fps=10, time=0.1, freewheel=True)
+    scene.camera.mode = "free"
+    assert scene.camera.mode is CameraMode.FreeCamera
+    scene.camera.projection = "360"
+    assert scene.camera.projection is CameraProjection.Equirectangular
+    scene.camera.mode = 1
+    assert scene.camera.mode is CameraMode.Camera2D
