@@ -525,8 +525,14 @@ def raymarch_frag(sf):
         walk = sd_scene(point)
         active = ~done
         traveled = traveled + jnp.where(active, walk, 0.0)
-        steps = steps + active.astype(jnp.int32)
-        done = done | (walk < MIN_DIST) | (walk > MAX_DIST)
+        # GLSL break semantics (raymarch.frag): the breaking iteration's
+        # walk IS accumulated into traveled, but `steps` is the for-loop
+        # counter AT break — break skips the increment, so the breaking
+        # iteration does not count (tools/gl_oracle.py raymarch_fragment
+        # mirrors this; getting it wrong shifts col by sqrt(n+1)-sqrt(n)).
+        breaking = (walk < MIN_DIST) | (walk > MAX_DIST)
+        steps = steps + (active & ~breaking).astype(jnp.int32)
+        done = done | breaking
         return traveled, steps, done
 
     traveled = jnp.zeros(origin.shape[:-1], jnp.float32)

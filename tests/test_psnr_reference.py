@@ -79,6 +79,25 @@ def test_mandelbrot_psnr():
         assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
 
 
+def test_raymarch_psnr():
+    """Graded config 4: stacked-boxes ray march (camera rays + SDF union +
+    GLSL break semantics on the step counter) vs the oracle's masked loop."""
+    import demo
+
+    scene = demo.RayMarch()
+    width, height = 320, 180
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 2, width=width, height=height, ssaa=1.0, subsample=1)
+
+    for index, uniform in enumerate(uniforms):
+        oracle = gl_oracle.render_scene(
+            gl_oracle.raymarch_fragment, uniform,
+            *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
+
+
 def test_oracle_final_pass_matches_engine_downsample():
     """The oracle's final.glsl tap loop and the engine's fused/pooled
     downsample agree on synthetic data (exact-pooling regime)."""

@@ -128,7 +128,8 @@ def get_camera(uniforms: dict, co: dict, name: str = "iCamera"):
     cam_gluv = hit[..., 0:2]
     aspect = F(co["gluv"][0, 1, 0] / co["agluv"][0, 1, 0])
     return dict(gluv=cam_gluv, agluv=cam_gluv / np.array([aspect, 1], F),
-                out_of_bounds=out_of_bounds)
+                out_of_bounds=out_of_bounds,
+                origin=origin, target=target)
 
 
 # --------------------------------------------------------------------------- #
@@ -190,6 +191,48 @@ def mandelbrot_fragment(uniforms: dict, width: int, height: int, aspect: float):
     rgb = palette_magma(t)
     rgb = np.where(cam["out_of_bounds"][..., None], palette_magma(np.zeros(t.shape, F)), rgb)
     return rgb.astype(F)
+
+
+def raymarch_fragment(uniforms: dict, width: int, height: int, aspect: float):
+    """examples/basic/shaders/raymarch.frag -> (H, W, 3) f32. Stacked-boxes
+    ray march; col = 1 - sqrt(steps)*0.1. GLSL loop semantics: traveled
+    accumulates EVERY walk (including the breaking one); `steps` is the
+    loop counter AT break — the breaking iteration is not counted (the
+    for-increment is skipped by break), and a never-breaking ray exits with
+    steps == MAX_STEPS."""
+    co = coords(width, height, aspect)
+    cam = get_camera(uniforms, co)
+    origin = cam["origin"]
+    target = cam["target"]
+    direction = (target - origin).astype(F)
+    forward = (direction / np.sqrt((direction * direction).sum(-1, keepdims=True)).astype(F)).astype(F)
+
+    MAX_STEPS, MAX_DIST, MIN_DIST = 100, F(100.0), F(0.001)
+
+    def sd_scene(point):
+        sdf = np.full(point.shape[:-1], 2 * MAX_DIST, F)
+        for i in range(2, 8):
+            d = (np.abs(point - np.array([0, 0, i], F)) - F(i - 1) / 2).astype(F)
+            inner = np.minimum(d.max(-1), 0.0).astype(F)
+            outer = np.sqrt((np.maximum(d, 0.0) ** 2).sum(-1)).astype(F)
+            sdf = np.minimum(sdf, inner + outer).astype(F)
+        return sdf
+
+    traveled = np.zeros(origin.shape[:-1], F)
+    steps = np.zeros(origin.shape[:-1], np.int32)
+    done = np.zeros(origin.shape[:-1], bool)
+    for _ in range(MAX_STEPS):
+        point = (origin + forward * traveled[..., None]).astype(F)
+        walk = sd_scene(point)
+        traveled = np.where(done, traveled, (traveled + walk).astype(F))
+        breaking = (walk < MIN_DIST) | (walk > MAX_DIST)
+        steps = np.where(done | breaking, steps, steps + 1)
+        done = done | breaking
+        if done.all():
+            break
+
+    col = (1 - np.sqrt(steps.astype(F)) * F(0.1)).astype(F)
+    return np.repeat(col[..., None], 3, axis=-1).astype(F)
 
 
 # --------------------------------------------------------------------------- #
