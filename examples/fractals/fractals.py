@@ -155,18 +155,27 @@ def tetration_frag(sf):
     MAX_STEPS = 67
 
     def body(_, state):
-        z, iters, escaped = state
+        z, escaped = state
         znew = cpow(c, z)
         active = ~escaped
+        # The breaking value of Z is what colors the pixel (GLSL breaks
+        # AFTER the update), so z freezes at its first escaped value
         z = jnp.where(active[..., None], znew, z)
-        escaped = escaped | (ops.cmag(z) > 100.0) | ~jnp.isfinite(ops.cmag(z))
-        iters = iters + active.astype(jnp.int32)
-        return z, iters, escaped
+        mag = ops.cmag(z)
+        escaped = escaped | (mag > 100.0) | ~jnp.isfinite(mag)
+        return z, escaped
 
     z = c
-    iters = jnp.zeros(c.shape[:-1], jnp.int32)
     escaped = jnp.zeros(c.shape[:-1], bool)
-    z, iters, escaped = lax.fori_loop(0, MAX_STEPS, body, (z, iters, escaped))
+    z, escaped = lax.fori_loop(0, MAX_STEPS, body, (z, escaped))
+    # tetration.frag:48 `float k = it / MAX_STEPS` — INTEGER division (both
+    # operands int): k is 1 only when the loop completed without breaking
+    # (the orbit never escaped), else 0. Binary, not a smooth ramp. Orbits
+    # that blow up to inf/nan never satisfy `Z.r > 100.0` in GLSL either
+    # (NaN compares false) and would reach k=1 with an undefined hue; the
+    # finite guard above maps them to k=0 (black) instead — the one
+    # deliberate deviation (driver-UB otherwise).
+    k = (~escaped).astype(jnp.float32)
 
     from shaderflow_tpu.ops import tailfuse
     TAU = 2.0 * jnp.pi
@@ -194,7 +203,7 @@ def tetration_frag(sf):
                 pick([zero, zero, x, value, value, x]))
 
     return sf.tail(tail,
-                   k=iters.astype(jnp.float32) / MAX_STEPS,
+                   k=k,
                    zx=z[..., 0], zy=z[..., 1])
 
 

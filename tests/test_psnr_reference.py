@@ -98,6 +98,47 @@ def test_raymarch_psnr():
         assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
 
 
+def test_tetration_parity():
+    """Bonus fractal: complex tetration. Pins the GLSL-exact semantics —
+    binary k from INTEGER division (tetration.frag:48), break-after-update
+    Z, cycles-as-radians hue quirk.
+
+    PSNR is the wrong metric here: k is BINARY and the orbit is chaotic, so
+    single-ULP differences between XLA's and libm's pow/exp/log flip
+    escape-boundary pixels to full amplitude (a real GPU running the GLSL
+    would differ from both at a similar rate). The parity statement is:
+    >= 99% of pixels agree exactly, and the flips are confined to the
+    escape boundary (measured: 99.4% agreement, 344/349 flips on the
+    1px-dilated boundary at 320x180)."""
+    import fractals
+
+    scene = fractals.Tetration()
+    width, height = 320, 180
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 2, width=width, height=height, ssaa=1.0, subsample=1)
+
+    for index, uniform in enumerate(uniforms):
+        oracle = gl_oracle.render_scene(
+            gl_oracle.tetration_fragment, uniform,
+            *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+        ours = frames[index].astype(np.int16)
+        ref = oracle.astype(np.int16)
+        disagree = np.abs(ours - ref).max(-1) > 1
+        assert (1 - disagree.mean()) >= 0.99, (
+            f"frame {index}: {disagree.mean():.2%} of pixels differ")
+
+        # Disagreements must hug the oracle's own escape boundary (2px)
+        k = (ref[..., 0] > 127).astype(np.int16)
+        pad = np.pad(k, 2, mode="edge")
+        stacked = np.stack([pad[dy:dy + height, dx:dx + width]
+                            for dy in range(5) for dx in range(5)])
+        boundary = stacked.min(0) != stacked.max(0)
+        stray = (disagree & ~boundary).sum()
+        assert stray <= disagree.sum() * 0.05 + 3, (
+            f"frame {index}: {stray} flips far from the escape boundary")
+
+
 def test_oracle_final_pass_matches_engine_downsample():
     """The oracle's final.glsl tap loop and the engine's fused/pooled
     downsample agree on synthetic data (exact-pooling regime)."""

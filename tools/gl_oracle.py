@@ -70,7 +70,8 @@ def hsv2rgb(h, s, v):
                    sector == 3, sector == 4], [x, c, c, x, zeros], zeros)
     b = np.select([sector == 0, sector == 1, sector == 2,
                    sector == 3, sector == 4], [zeros, zeros, x, c, c], x)
-    return (np.stack([r, g, b], axis=-1) + m).astype(F)
+    m = np.asarray(m, F)
+    return (np.stack([r, g, b], axis=-1) + m[..., None]).astype(F)
 
 
 def palette(t, a, b, c, d):
@@ -191,6 +192,50 @@ def mandelbrot_fragment(uniforms: dict, width: int, height: int, aspect: float):
     rgb = palette_magma(t)
     rgb = np.where(cam["out_of_bounds"][..., None], palette_magma(np.zeros(t.shape, F)), rgb)
     return rgb.astype(F)
+
+
+def tetration_fragment(uniforms: dict, width: int, height: int, aspect: float):
+    """examples/fractals/shaders/tetration.frag -> (H, W, 3) f32.
+
+    GLSL-exact semantics worth noting: Z updates BEFORE the break check (the
+    escaping Z colors the pixel); `float k = it / MAX_STEPS` is INTEGER
+    division — k is 1 only for orbits that never escape, else 0 (binary,
+    not a ramp); theta = atan2n ([0, 1) cycles) feeds hsv2rgb's RADIAN hue
+    domain, landing every pixel in hue sector 0 (red/yellow). Non-finite
+    orbits (NaN compares false in GLSL, reaching k=1 with undefined hue /
+    driver-UB u8 store) are treated as escaped (k=0) to match the engine's
+    deliberate finite guard."""
+    co = coords(width, height, aspect)
+    cam = get_camera(uniforms, co)
+    g = cam["gluv"]
+    cx, cy = g[..., 0].astype(F), g[..., 1].astype(F)
+    cr = np.sqrt(cx * cx + cy * cy).astype(F)
+    ct = np.arctan2(cy, cx).astype(F)
+
+    MAX_STEPS = 67
+    zx, zy = cx.copy(), cy.copy()
+    done = np.zeros(zx.shape, bool)
+    with np.errstate(all="ignore"):
+        log_cr = np.log(cr).astype(F)
+        for _ in range(MAX_STEPS):
+            nr = (np.power(cr, zx, dtype=F) * np.exp(-zy * ct, dtype=F)).astype(F)
+            nt = (zy * log_cr + zx * ct).astype(F)
+            nzx = (nr * np.cos(nt)).astype(F)
+            nzy = (nr * np.sin(nt)).astype(F)
+            zx = np.where(done, zx, nzx)
+            zy = np.where(done, zy, nzy)
+            done = done | (nr > 100.0) | ~np.isfinite(nr)
+            if done.all():
+                break
+    k = np.where(done, F(0.0), F(1.0))
+
+    # theta = atan2n(Z.y, Z.x): the (0, 2pi) atan2 variant, normalized.
+    # Non-finite Z has k=0 (black regardless of hue); zero the angle so the
+    # NaN does not poison the hsv switch arithmetic.
+    theta = np.arctan2(zy, zx).astype(F)
+    theta = np.where(zy < 0, F(TAU) + theta, theta).astype(F) / F(TAU)
+    theta = np.where(np.isfinite(theta), theta, F(0.0)).astype(F)
+    return hsv2rgb(theta, np.asarray(1.0, F), k).astype(F)
 
 
 def raymarch_fragment(uniforms: dict, width: int, height: int, aspect: float):
