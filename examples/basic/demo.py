@@ -452,15 +452,17 @@ def visualizer_frag(sf):
         vpow = tailfuse.powf(jnp.maximum(vig * 20.0, 1e-6), 0.1 + 0.15 * vol)
         rgb = [c * vpow for c in rgb]
 
-        # Out of bounds -> deep space color
-        oob = tp.col("oob") > 0.5
-        rgb = [jnp.where(oob, s, c) for c, s in zip(rgb, space_rgb)]
-
         # Waveform overlay top and bottom (screen gluv y)
         gy = tp.gluv_y
         dark = (jnp.where(1.0 - gy < tp.col("wave0"), 0.8, 1.0)
                 * jnp.where(1.0 + gy < tp.col("wave1"), 0.8, 1.0))
-        return [c * dark for c in rgb]
+        rgb = [c * dark for c in rgb]
+
+        # Out of bounds -> deep space color. LAST: the reference's early
+        # return (visualizer.frag:11-14) means no waveform darkening or any
+        # other stage ever touches an out-of-bounds pixel.
+        oob = tp.col("oob") > 0.5
+        return [jnp.where(oob, s, c) for c, s in zip(rgb, space_rgb)]
 
     return sf.tail(
         tail,
