@@ -89,7 +89,6 @@ def test_held_keys_drive_camera_until_release():
     adds downward motion — the reference's held-key navigation contract."""
     scene = make_scene()
     camera = scene.camera
-    camera.mode = type(camera).__dict__.get("mode", camera.mode)
     scene.dt = 1 / 60
 
     start = np.asarray(camera.position.target).copy()
