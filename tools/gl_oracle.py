@@ -194,6 +194,127 @@ def mandelbrot_fragment(uniforms: dict, width: int, height: int, aspect: float):
     return rgb.astype(F)
 
 
+def _nearest_v(tex: np.ndarray, v: np.ndarray):
+    """GL_NEAREST along the v axis of a 1-texel-wide (H, C) column texture
+    sampled at u=0: texel row floor(v*H), clamped (row 0 = bottom)."""
+    h = tex.shape[0]
+    iy = np.clip(np.floor(v * h).astype(np.int32), 0, h - 1)
+    return tex[iy]
+
+
+def visualizer_fragment(uniforms: dict, width: int, height: int,
+                        aspect: float, textures: dict):
+    """examples/basic/shaders/visualizer.frag -> (H, W, 3) f32, transcribed
+    POINTWISE (per-pixel bilinear samples, the literal 80-tap blur loop) —
+    the independent check on the engine's restructured formulation
+    (separable sampling, blur-sample commutation, MXU bar lookup).
+
+    textures: background (Hb, Wb, 3) f32 row-0-bottom; spectrogram
+    (bins, 2) f32 row-0-bottom (NEAREST, the smooth=False scene config);
+    waveform (Wp, 2) f32 (sampled at v=0 along u).
+    """
+    co = coords(width, height, aspect)
+    cam = get_camera(uniforms, co)
+    uv = cam["gluv"]
+    space = np.array([1.0, 11.0, 26.0], F) / 255
+
+    time = F(np.asarray(uniforms["iTime"], F))
+    vol = F(np.asarray(uniforms["iAudioVolume"], F))
+    std = F(np.asarray(uniforms["iAudioSTD"], F))
+    background = textures["background"]
+    tex_aspect = F(background.shape[0] / background.shape[1])
+
+    def stexture(st_u, st_v):
+        # stexture = gtexture(stuv2gluv(uv)): u scales by tex_h/tex_w
+        # around center (shaderflow.glsl:165-169,202)
+        g_u = (st_u * 2 - 1) * tex_aspect
+        u = (g_u + 1) / 2
+        return _sample_bilinear(background, u.astype(F), st_v.astype(F))
+
+    # Background: zoom(gluv2stuv(camera.gluv), z, 0.5) + drift — the stuv
+    # here comes from the CAMERA gluv (x spans ±aspect), not astuv
+    z = F(0.95) + F(0.01) * np.sin(time, dtype=F) - F(0.02) * vol - F(0.03)
+    st_x = ((uv[..., 0] + 1) / 2).astype(F)
+    st_y = ((uv[..., 1] + 1) / 2).astype(F)
+    bg_u = ((st_x - F(0.5)) * (z * z) + F(0.5)
+            + F(0.005) * np.cos(time * F(3.25135), dtype=F)).astype(F)
+    bg_v = ((st_y - F(0.5)) * (z * z) + F(0.5)
+            + F(0.005) * np.sin(time * F(1.153469), dtype=F)).astype(F)
+    rgb = stexture(bg_u, bg_v)[..., :3]
+
+    # 8 x 10 radial blur, literal loop; color STARTS at the base sample
+    intensity = F(0.01) * np.clip(np.power(vol, F(2.5), dtype=F), 0, F(0.3))
+    quality, directions = 10, 8
+    color = rgb.copy()
+    for d in range(directions):
+        angle = F(TAU) * d / directions
+        for s in range(1, quality + 1):
+            walk = F(s / quality)
+            du = F(np.cos(angle, dtype=F)) * walk * intensity
+            dv = F(np.sin(angle, dtype=F)) * walk * intensity
+            color = color + stexture(bg_u + du, bg_v + dv)[..., :3]
+    rgb = (color / F(quality * directions)).astype(F)
+
+    # Blink on snare/kick
+    alen = np.sqrt((co["agluv"] ** 2).sum(-1)).astype(F)
+    rgb = rgb * (1 + 5 * std * np.power(
+        np.clip(alen - F(0.3), 0, 1), F(6), dtype=F))[..., None]
+
+    # Music bars. rotate2d(a) = mat2(c,-s,s,c) is COLUMN-major: M*v =
+    # (c*x + s*y, -s*x + c*y) — the TRANSPOSE of the textbook rotation —
+    # so rotate2d(-PI/2)*uv = (-y, x), not (y, -x).
+    scale = (1 - F(0.4) * np.sqrt(np.abs(vol), dtype=F)).astype(F)
+    mx = (-uv[..., 1] * scale).astype(F)
+    my = (uv[..., 0] * scale).astype(F)
+    radius = F(0.17)
+    circle = np.abs(np.arctan2(my, mx).astype(F) / F(PI))
+    spectrogram = textures["spectrogram"]
+    freq = np.sqrt(_nearest_v(spectrogram, circle) / F(1000)).astype(F)
+
+    def sstep(edge0, edge1, x):
+        t = np.clip((x - edge0) / (edge1 - edge0), 0, 1).astype(F)
+        return (t * t * (3 - 2 * t)).astype(F)
+
+    freq = freq * (F(0.05) + 3 * sstep(F(0), F(2), circle))[..., None]
+    bar = np.where(my < 0, freq[..., 0], freq[..., 1]).astype(F)
+    r_len = np.sqrt(mx * mx + my * my).astype(F)
+    ring = radius + F(0.5) * bar
+    smix = sstep(F(0), F(1), F(0.5) + bar)
+    with np.errstate(all="ignore"):
+        fall = np.power((r_len - ring) * F(0.5), F(0.05), dtype=F)
+    rgb = np.where((r_len < radius)[..., None], rgb * F(0.5),
+                   np.where((r_len < ring)[..., None],
+                            rgb + (1 - rgb) * smix[..., None],
+                            rgb * fall[..., None])).astype(F)
+
+    # Fade to deep space
+    dmix = sstep(F(0), F(1), np.sqrt((uv ** 2).sum(-1)).astype(F) / 20)
+    rgb = rgb + (space - rgb) * dmix[..., None]
+
+    # Vignette
+    vig = (co["astuv"] * (1 - co["astuv"][..., ::-1])).astype(F)
+    vpow = np.power(vig[..., 0] * vig[..., 1] * 20,
+                    F(0.1) + F(0.15) * vol, dtype=F)
+    rgb = rgb * vpow[..., None]
+
+    # Waveform overlay (linear sample of the (Wp, 2) row at v=0)
+    waveform = textures["waveform"]
+    wp = waveform.shape[0]
+    x = co["astuv"][..., 0] * wp - F(0.5)
+    x0 = np.clip(np.floor(x).astype(np.int32), 0, wp - 1)
+    x1 = np.clip(x0 + 1, 0, wp - 1)
+    fx = np.clip(x - x0, 0, 1).astype(F)
+    wave = (F(0.2) * (waveform[x0] * (1 - fx[..., None])
+                      + waveform[x1] * fx[..., None])).astype(F)
+    gy = co["gluv"][..., 1]
+    rgb = np.where((1 - gy < wave[..., 0])[..., None], rgb * F(0.8), rgb)
+    rgb = np.where((1 + gy < wave[..., 1])[..., None], rgb * F(0.8), rgb)
+
+    # Out of bounds: the reference early-returns space before everything
+    rgb = np.where(cam["out_of_bounds"][..., None], space, rgb)
+    return rgb.astype(F)
+
+
 def tetration_fragment(uniforms: dict, width: int, height: int, aspect: float):
     """examples/fractals/shaders/tetration.frag -> (H, W, 3) f32.
 
