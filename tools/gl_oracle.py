@@ -202,6 +202,55 @@ def _nearest_v(tex: np.ndarray, v: np.ndarray):
     return tex[iy]
 
 
+def bars_fragment(uniforms: dict, width: int, height: int,
+                  aspect: float, textures: dict):
+    """examples/basic/shaders/bars.frag -> (H, W, 3) f32. The swizzled
+    sample texture(iSpectrogram, astuv.yx) puts the BIN axis along screen
+    x (the spectrogram is 1 texel wide at length=0); NEAREST (smooth=False).
+    Channels add on black; blue ambient term scales with total intensity.
+
+    textures: spectrogram (bins, 2) f32 row-0-bottom."""
+    co = coords(width, height, aspect)
+    get_camera(uniforms, co)  # GetCamera runs (unused) in the reference
+    ax = co["astuv"][..., 0].astype(F)
+    ay = co["astuv"][..., 1].astype(F)
+    intensity = (np.sqrt(_nearest_v(textures["spectrogram"], ax)) / F(120)).astype(F)
+
+    rgb = np.zeros(ax.shape + (3,), F)
+    rgb[..., 0] += (ay < intensity[..., 0])
+    rgb[..., 1] += (ay < intensity[..., 1])
+    rgb[..., 2] += (ay < (intensity[..., 0] + intensity[..., 1]) / 2)
+    rgb[..., 2] += (F(0.4) * (intensity[..., 0] + intensity[..., 1])
+                    * (1 - ay)).astype(F)
+    return rgb.astype(F)
+
+
+def waveform_fragment(uniforms: dict, width: int, height: int,
+                      aspect: float, textures: dict):
+    """examples/basic/shaders/waveform.frag -> (H, W, 3) f32. Oscilloscope
+    bars: wave = texture(iWaveform, vec2(astuv.x, 0)).rg, base 0.2, channel
+    set to 1 where |gluv.y| < wave (LINEAR along the points axis — the
+    waveform module's smooth=True default).
+
+    textures: waveform (points, 2) f32."""
+    co = coords(width, height, aspect)
+    get_camera(uniforms, co)
+    waveform = textures["waveform"]
+    wp = waveform.shape[0]
+    x = (co["astuv"][..., 0] * wp - F(0.5)).astype(F)
+    x0 = np.clip(np.floor(x).astype(np.int32), 0, wp - 1)
+    x1 = np.clip(x0 + 1, 0, wp - 1)
+    fx = np.clip(x - x0, 0, 1).astype(F)
+    wave = (waveform[x0] * (1 - fx[..., None]) + waveform[x1] * fx[..., None]).astype(F)
+
+    ay = np.abs(co["gluv"][..., 1]).astype(F)
+    rgb = np.full(ay.shape + (3,), F(0.2), F)
+    rgb[..., 0] = np.where(ay < wave[..., 0], F(1.0), rgb[..., 0])
+    rgb[..., 1] = np.where(ay < wave[..., 1], F(1.0), rgb[..., 1])
+    rgb[..., 2] = np.where(ay < (wave[..., 0] + wave[..., 1]) / 2, F(1.0), rgb[..., 2])
+    return rgb.astype(F)
+
+
 def visualizer_fragment(uniforms: dict, width: int, height: int,
                         aspect: float, textures: dict):
     """examples/basic/shaders/visualizer.frag -> (H, W, 3) f32, transcribed
