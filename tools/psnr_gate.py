@@ -41,12 +41,23 @@ sys.path.insert(0, str(REPO / "examples" / "fractals"))
 BAR_DB = 40.0
 
 # name -> (scene key, width, height, ssaa, subsample, frames, scene kwargs)
+# Binary-output scenes (tetration's int-division k, waveform thresholds)
+# use an exact-pixel agreement metric instead of PSNR: transcendental/
+# matmul ULPs flip isolated boundary pixels at full amplitude there.
 ORACLE_CONFIGS = {
     "default (welcome) ssaa=1": ("basic", 512, 288, 1.0, 1, 3, {}),
     "default (welcome) ssaa=2": ("basic", 512, 288, 2.0, 2, 3, {}),
     "mandelbrot (escape kernel + fused tail)":
         ("mandelbrot", 320, 180, 2.0, 2, 2, {"quality": 5}),
+    "raymarch (camera rays + SDF)": ("raymarch", 320, 180, 1.0, 1, 2, {}),
+    "visualizer (flagship, blur level 4)":
+        ("visualizer", 320, 180, 1.0, 1, 3, {}),
+    "bars": ("bars", 320, 180, 1.0, 1, 3, {}),
+    "tetration (binary k)": ("tetration", 320, 180, 1.0, 1, 2, {}),
+    "waveform (binary thresholds)": ("waveform", 320, 180, 1.0, 1, 3, {}),
 }
+AGREEMENT_CONFIGS = {"tetration (binary k)", "waveform (binary thresholds)"}
+AGREE_BAR = 0.99
 
 FUSED_CONFIGS = {
     "visualizer": ("visualizer", 640, 360, 2.0, 2, 2, {}),
@@ -63,6 +74,9 @@ def scene_class(key: str):
     return {
         "basic": demo.Basic,
         "visualizer": demo.Visualizer,
+        "bars": demo.MusicBars,
+        "waveform": demo.Waveform,
+        "raymarch": demo.RayMarch,
         "mandelbrot": fractals.Mandelbrot,
         "julia": fractals.Julia,
         "tetration": fractals.Tetration,
@@ -95,22 +109,59 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
 
+def _oracle_textures(engine, uniform) -> dict:
+    """Engine texture state -> oracle handoff (engine matrices store
+    row 0 = top; the oracle samples GL row-0-bottom storage)."""
+    k = int(np.asarray(uniform.get("iFrameIndex", 0)))
+    textures = {}
+    if "background" in engine._static_tex:
+        textures["background"] = np.asarray(
+            engine._static_tex["background"])[0, 0][::-1]
+    if "iSpectrogram" in engine._sequences:
+        seq = np.asarray(engine._sequences["iSpectrogram"])
+        textures["spectrogram"] = seq[min(k, len(seq) - 1)][:, 0, :][::-1]
+    if "iWaveform" in engine._sequences:
+        seq = np.asarray(engine._sequences["iWaveform"])
+        textures["waveform"] = seq[min(k, len(seq) - 1)][0]
+    return textures
+
+
 def worker_oracle(name: str) -> None:
     import gl_oracle
     key, w, h, ssaa, sub, n, kwargs = ORACLE_CONFIGS[name]
     frames, uniforms, scene = render_frames(key, w, h, ssaa, sub, n, kwargs)
-    fragment = {"basic": gl_oracle.default_fragment,
-                "mandelbrot": gl_oracle.mandelbrot_fragment}[key]
-    worst = float("inf")
+    plain = {"basic": gl_oracle.default_fragment,
+             "mandelbrot": gl_oracle.mandelbrot_fragment,
+             "raymarch": gl_oracle.raymarch_fragment,
+             "tetration": gl_oracle.tetration_fragment}
+    textured = {"visualizer": gl_oracle.visualizer_fragment,
+                "bars": gl_oracle.bars_fragment,
+                "waveform": gl_oracle.waveform_fragment}
+    worst_psnr = float("inf")
+    worst_agree = 1.0
     for index, uniform in enumerate(uniforms):
         merged = dict(uniform)
         if key == "mandelbrot":
             merged.setdefault("iQuality", merged.get("iQualityS", 0.05))
+        if key in plain:
+            fragment = plain[key]
+        else:
+            textures = _oracle_textures(scene.engine, uniform)
+            base = textured[key]
+            fragment = (lambda b, t: lambda u, ww, hh, a: b(u, ww, hh, a, t))(
+                base, textures)
         oracle = gl_oracle.render_scene(
             fragment, merged, *scene.render_resolution,
             w, h, sub, scene.aspect_ratio)
-        worst = min(worst, gl_oracle.psnr(frames[index], oracle))
-    print(json.dumps({"name": name, "psnr": round(worst, 1)}))
+        worst_psnr = min(worst_psnr, gl_oracle.psnr(frames[index], oracle))
+        diff = np.abs(frames[index].astype(np.int16) - oracle.astype(np.int16))
+        worst_agree = min(worst_agree, float((diff.max(-1) <= 2).mean()))
+    if name in AGREEMENT_CONFIGS:
+        print(json.dumps({"name": name, "metric": "agree",
+                          "value": round(worst_agree, 5)}))
+    else:
+        print(json.dumps({"name": name, "metric": "psnr",
+                          "value": round(worst_psnr, 1)}))
 
 
 def worker_render(name: str, out_path: str) -> None:
@@ -144,7 +195,7 @@ def main() -> None:
         print(f"== oracle: {name} ==", file=sys.stderr, flush=True)
         line = run_worker(["--worker-oracle", name], base_env)
         result = json.loads(line)
-        rows.append(("oracle", name, result["psnr"], None))
+        rows.append((f"oracle/{result['metric']}", name, result["value"], None))
         print(line, file=sys.stderr, flush=True)
 
     import tempfile
@@ -172,15 +223,20 @@ def main() -> None:
         f"Acceptance bar (BASELINE.md): >= {BAR_DB:.0f} dB. Regenerate after",
         "any kernel/precision change; BENCHMARKS.md cites this table.",
         "",
-        "| Check | Config | PSNR | Max u8 step | >= 40 dB |",
+        "| Check | Config | Value | Max u8 step | Passes |",
         "|---|---|---|---|---|",
     ]
     failed = []
     for kind, name, value, step in rows:
-        ok = value >= BAR_DB
+        if kind == "oracle/agree":
+            ok = value >= AGREE_BAR
+            shown = f"{value:.2%} exact-pixel agreement"
+        else:
+            ok = value >= BAR_DB
+            shown = f"{value:.1f} dB"
         if not ok:
             failed.append(name)
-        lines.append(f"| {kind} | {name} | {value:.1f} dB "
+        lines.append(f"| {kind} | {name} | {shown} "
                      f"| {'—' if step is None else step} "
                      f"| {'yes' if ok else '**NO**'} |")
     lines.append("")
