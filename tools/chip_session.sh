@@ -1,0 +1,49 @@
+#!/bin/bash
+# Sequential chip-work queue for when the tunnel is healthy. ONE job on the
+# chip at a time (two processes => UNIMPLEMENTED errors / garbage timings).
+# Logs to /tmp/chip_session/. Run: bash tools/chip_session.sh
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_session
+mkdir -p "$LOG"
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG/summary.txt"
+  timeout "$t" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  tail -3 "$LOG/$name.log" | tee -a "$LOG/summary.txt"
+  echo "--- $name rc=$rc" | tee -a "$LOG/summary.txt"
+}
+
+# 0. Liveness + warm the persistent compile cache with the headline scene
+step probe        120  python -u -c "import jax; print(jax.devices())"
+grep -q "TPU\|axon" "$LOG/probe.log" || { echo "TUNNEL STILL DEAD"; exit 1; }
+
+# 1. Escape kernel: predicted-rounds A/B (VERDICT r2 #3 follow-up)
+step escape_base  1200 python tools/bench_escape.py
+step escape_pred  1200 env SHADERFLOW_FRACTAL_PREDICT=1 python tools/bench_escape.py
+
+# 2. Mandelbrot graded bench, both settings (target >= 600 fps = 10x)
+step mandel_base  1800 env BENCH_SCENE=mandelbrot python bench.py
+step mandel_pred  1800 env BENCH_SCENE=mandelbrot SHADERFLOW_FRACTAL_PREDICT=1 python bench.py
+
+# 3. bf16 VPU microbench (decides whether a bf16 tail mode is worth building)
+step vpu_dtype    900  python tools/bench_vpu_dtype.py
+
+# 4. Visualizer blur level A/B (GL-exactness vs device time)
+step viz_L4       1800 python bench.py
+step viz_L1       1800 env SHADERFLOW_VIZ_BLUR_LEVEL=1 python bench.py
+
+# 5. On-device PSNR gate (refreshes PSNR_GATE.md)
+step psnr_gate    3600 python tools/psnr_gate.py
+
+# 6. Headline variance: five consecutive standalone runs (VERDICT r2 #4)
+for i in 1 2 3 4 5; do
+  step "viz_var_$i" 1800 python bench.py
+done
+
+# 7. Full graded matrix refresh
+step bench_all    7200 python tools/bench_all.py
+
+echo "=== DONE ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG/summary.txt"
