@@ -262,7 +262,13 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         if self.texture.sequence is not None:
             return  # content comes from the device sequence
 
-        # Realtime / scrolling path: per-frame CPU column + host texture write
+        # Realtime / scrolling path: per-frame CPU column + host texture write.
+        # Deliberate deviation: the reference feeds its dynamics with
+        # `self.next().T.reshape(2, -1)` (audio/spectrogram.py:307) — a
+        # C-order reshape of the (bins, channels) column into (2, bins)
+        # that INTERLEAVES bins across channels rather than transposing
+        # (visually: a half-resolution spectrum duplicated per channel).
+        # We keep the evidently intended (channels, bins) layout.
         row_shape = (self.audio.channels, self.spectrogram_bins)
         if self.dynamics.value.shape != row_shape:
             self.dynamics.set(np.zeros(row_shape, np.float32))
