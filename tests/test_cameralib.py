@@ -135,3 +135,78 @@ def test_camera_mode_projection_coerce_on_assignment():
     assert scene.camera.projection is CameraProjection.Equirectangular
     scene.camera.mode = 1
     assert scene.camera.mode is CameraMode.Camera2D
+
+
+def test_stereoscopic_equirectangular_vs_glsl_transcription():
+    """Stereo + 360 projections vs a direct NumPy transcription of
+    CameraProject (camera.glsl:93-130), on a non-trivial camera state
+    (rotated basis, zoom != 1, separation, orbital/dolly). The perspective
+    path is already pinned end-to-end by the raymarch oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from shaderflow_tpu.ops import cameralib, stdlib as sl
+
+    H, W = 24, 40
+    aspect = W / H
+    u = (np.arange(W, dtype=np.float32) + 0.5) / W
+    v = 1.0 - (np.arange(H, dtype=np.float32) + 0.5) / H
+    ag = np.stack(np.meshgrid(u * 2 - 1, v * 2 - 1, indexing="xy"), -1).astype(np.float32)
+    gl = ag * np.array([aspect, 1], np.float32)
+
+    # Rotated, offset camera
+    th = 0.3
+    right = np.array([np.cos(th), 0, np.sin(th)], np.float32)
+    up = np.array([0, 1, 0], np.float32)
+    forward = np.cross(up, right).astype(np.float32) * -1.0
+    forward = np.array([-np.sin(th), 0, np.cos(th)], np.float32)
+    state = dict(position=np.array([0.2, -0.1, -0.4], np.float32),
+                 right=right, up=up, forward=forward,
+                 zoom=0.8, isometric=0.25, orbital=0.3, dolly=0.1,
+                 focal_length=1.2, separation=0.06)
+
+    def rect(g, size):
+        return size * (g[..., 0:1] * state["right"] + g[..., 1:2] * up)
+
+    def o_t(pos, g):
+        backward = -state["forward"]
+        o = (pos + rect(g, state["zoom"] * state["isometric"])
+             + backward * state["orbital"] + backward * state["dolly"])
+        t = (pos + rect(g, state["zoom"])
+             + backward * state["orbital"] + state["forward"] * state["focal_length"])
+        return o, t
+
+    def rodrigues(vec, axis, ang):
+        c, s = np.cos(ang, dtype=np.float32), np.sin(ang, dtype=np.float32)
+        d = (axis * vec).sum(-1, keepdims=True)
+        base = d * axis
+        return (base + (vec - base) * c[..., None]
+                + np.cross(np.broadcast_to(axis, vec.shape), vec) * s[..., None])
+
+    # --- stereoscopic transcription (camera.glsl:101-109)
+    eye = np.sign(ag[..., 0:1]).astype(np.float32)
+    g2 = gl - eye * np.array([aspect / 2, 0], np.float32)
+    pos2 = state["position"] + eye * state["separation"] * state["right"]
+    ref_o, ref_t = o_t(pos2, g2)
+
+    rays = cameralib.project(
+        gluv=jnp.asarray(gl), agluv=jnp.asarray(ag), mode=0,
+        projection=cameralib.PROJECTION_STEREOSCOPIC,
+        aspect=aspect, want_aspect=aspect, resolution=(W, H), **state)
+    np.testing.assert_allclose(np.asarray(rays.origin), ref_o, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rays.target), ref_t, atol=1e-5)
+
+    # --- equirectangular transcription (camera.glsl:112-125)
+    inclination = state["zoom"] * (np.pi * ag[..., 1] / 2)
+    azimuth = state["zoom"] * (np.pi * ag[..., 0])
+    direction = rodrigues(np.broadcast_to(state["forward"], ag.shape[:-1] + (3,)),
+                          state["right"], -inclination)
+    direction = rodrigues(direction, up, azimuth)
+    ref_o = np.broadcast_to(state["position"], ag.shape[:-1] + (3,))
+    ref_t = ref_o + direction
+
+    rays = cameralib.project(
+        gluv=jnp.asarray(gl), agluv=jnp.asarray(ag), mode=0,
+        projection=cameralib.PROJECTION_EQUIRECTANGULAR,
+        aspect=aspect, want_aspect=aspect, resolution=(W, H), **state)
+    np.testing.assert_allclose(np.asarray(rays.origin), ref_o, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rays.target), ref_t, atol=1e-5)
