@@ -82,3 +82,57 @@ def test_functional_step_matches_class():
         v, dv, prev = step(v, dv, prev, target, 1 / 60, coeffs)
         d.next(target=target, dt=1 / 60)
     assert float(d.value) == pytest.approx(v, abs=1e-9)
+
+
+def test_trajectory_matches_reference_transcription():
+    """Full-trajectory oracle vs a literal transcription of the reference's
+    DynamicNumber.next (dynamics.py:164-242): k1/k2/k3, the k2 stability
+    clamp, the pole-matching fast branch (cos and cosh sides), velocity
+    estimation and semi-implicit Euler order."""
+    import math
+
+    import numpy as np
+
+    from shaderflow_tpu.ops import dynamics as dyn
+
+    def reference_run(targets, dt, frequency, zeta, response):
+        pi, tau = math.pi, math.tau
+        radians = tau * frequency
+        K1 = zeta / (pi * frequency)
+        K2 = 1.0 / (radians * radians)
+        K3 = (response * zeta) / (tau * frequency)
+        value = np.zeros_like(targets[0])
+        derivative = np.zeros_like(value)
+        previous = np.zeros_like(value)
+        out = []
+        for target in targets:
+            velocity = (target - previous) / dt
+            previous = target.copy()
+            if radians * dt < zeta:
+                k1 = K1
+                k2 = max(K1 * dt, K2, 0.5 * (K1 + dt) * dt)
+            else:
+                damping = radians * abs(zeta * zeta - 1.0) ** 0.5
+                t1 = math.exp(-zeta * radians * dt)
+                a1 = 2 * t1 * (math.cos if zeta <= 1 else math.cosh)(damping * dt)
+                t2 = 1 / (1 + t1 * t1 - a1) * dt
+                k1 = t2 * (1 - t1 * t1)
+                k2 = t2 * dt
+            value = value + derivative * dt
+            acceleration = (target + K3 * velocity - value - k1 * derivative) / k2
+            derivative = derivative + acceleration * dt
+            out.append(value.copy())
+        return np.stack(out)
+
+    rng = np.random.default_rng(5)
+    targets = rng.standard_normal((40, 3)).astype(np.float32).cumsum(0)
+    # slow system (clamp branch), fast underdamped (cos), fast overdamped (cosh)
+    for frequency, zeta, response in [(2.0, 1.0, 0.0), (40.0, 0.5, 2.0),
+                                      (40.0, 1.8, -1.0)]:
+        ours = np.asarray(dyn.scan(targets, np.zeros(3, np.float32), 1 / 60,
+                                   frequency=frequency, zeta=zeta,
+                                   response=response))
+        ref = reference_run(targets.astype(np.float64), 1 / 60,
+                            frequency, zeta, response)
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4,
+                                   err_msg=f"f={frequency} z={zeta} r={response}")
