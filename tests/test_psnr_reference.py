@@ -237,6 +237,77 @@ def test_tetration_parity():
             f"frame {index}: {stray} flips far from the escape boundary")
 
 
+def test_life_temporal_parity():
+    """Conway's Life vs an independent NumPy transcription of BOTH shaders
+    AND the temporal ring mechanics (life/simulation.glsl + visuals.glsl +
+    the reference's render-then-roll order): pins the engine's scan-carry
+    ring semantics — write to slot 0, roll so slot 1 is newest, later
+    programs see the ROLLED matrix (visuals reads slots 0-4 of which slot 0
+    is the recycled oldest, exactly like the reference's live GL bindings) —
+    plus texelFetch's zero border and the iFrame % iLifePeriod hold gate."""
+    import demo
+
+    scene = demo.Life()
+    width, height = 192, 108
+    n_frames = 15                                    # covers 3 sim periods
+    frames, uniforms = engine_frames_and_uniforms(
+        scene, n_frames, width=width, height=height, ssaa=1.0, subsample=1)
+
+    # --- oracle: replay the ring in GL space (row 0 = bottom)
+    sim_h, sim_w = 108, 192
+    period = scene.life_period
+    seed = np.random.default_rng(0).integers(0, 2, (sim_h, sim_w)).astype(np.float32)
+    ring = np.zeros((10, sim_h, sim_w), np.float32)
+    # setup wrote the seed into temporal slot 1 (texture.write(..., temporal=1));
+    # write() flips to GL storage, so in GL space (row 0 = bottom, this
+    # oracle's convention) the content IS the raw array
+    ring[1] = seed
+
+    def sim_step(prev):
+        padded = np.pad(prev, 1)                     # texelFetch zero border
+        near = sum(padded[1 + dy:1 + dy + sim_h, 1 + dx:1 + dx + sim_w] > 0.5
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)) - (prev > 0.5)
+        current = prev > 0.5
+        alive = np.where(current, (near == 2) | (near == 3), near == 3)
+        return alive.astype(np.float32)
+
+    colors = [np.array(c, np.float32) for c in gl_oracle.MAGMA]
+
+    def visuals(uniform, ring):
+        def fragment(u, w, h, a):
+            co = gl_oracle.coords(w, h, a)
+            cam = gl_oracle.get_camera(u, co)
+            uv = (cam["gluv"] + 1) / 2               # gluv2stuv of camera gluv
+            tex_aspect = np.float32(sim_h / sim_w)
+            su = ((uv[..., 0] * 2 - 1) * tex_aspect + 1) / 2
+            sv = uv[..., 1]
+            ix = np.clip(np.floor(su * sim_w).astype(np.int32), 0, sim_w - 1)
+            iy = np.clip(np.floor(sv * sim_h).astype(np.int32), 0, sim_h - 1)
+            exponent = 1.3
+            area = 1 / (exponent + 1)
+            life = ring[0][iy, ix].astype(np.float32)
+            for slot, factor in zip(range(1, 5), (0.8, 0.6, 0.4, 0.2)):
+                life = life + ring[slot][iy, ix] * np.float32(factor ** exponent)
+            life = (life / np.float32(5 * area)).astype(np.float32)
+            rgb = gl_oracle.palette(life, *colors)
+            return np.where(cam["out_of_bounds"][..., None], colors[0], rgb)
+        return gl_oracle.render_scene(
+            fragment, uniform, *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+
+    for index, uniform in enumerate(uniforms):
+        frame_i = int(np.asarray(uniform["iFrame"]))
+        if frame_i % period != 0:
+            out = ring[1].copy()                     # hold: previous frame
+        else:
+            out = sim_step(ring[1])
+        ring[0] = out
+        ring = np.roll(ring, 1, axis=0)              # slot 1 = newest
+        oracle = visuals(uniform, ring)
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
+
+
 def test_oracle_final_pass_matches_engine_downsample():
     """The oracle's final.glsl tap loop and the engine's fused/pooled
     downsample agree on synthetic data (exact-pooling regime)."""
