@@ -308,6 +308,66 @@ def test_life_temporal_parity():
         assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
 
 
+def test_motionblur_temporal_parity():
+    """MotionBlur vs a NumPy replay of its MAIN-program temporal ring —
+    the path Life does not cover: the displayed program itself carries
+    temporal state (layers=2, temporal=10), so this pins multipass layer
+    progression (layer 1 reads this frame's layer 0 at slot 0), the roll,
+    and the final pass reading slot 1 (the newest content after roll).
+    The camera teleports each frame so temporal mixing is observable."""
+    import demo
+
+    scene = demo.MotionBlur()
+    width, height = 160, 90
+    n_frames = 12
+    scene._setup_run(width=width, height=height, fps=10,
+                     time=n_frames / 10, freewheel=True, ssaa=1.0, subsample=1)
+    engine = scene.engine
+    engine.begin_batch()
+    for i in range(n_frames):
+        p = np.array([0.05 * i, 0.04 * np.sin(i * 0.9), 0.0], np.float32)
+        scene.camera.position.value = p
+        scene.camera.position.target = p
+        scene.next(dt=scene.frametime)
+    uniforms = []
+    for snapshot in engine._frame_uniforms:
+        merged = dict(engine._statics)
+        merged.update(snapshot)
+        uniforms.append(merged)
+    frames = np.asarray(engine.flush(n_frames))
+
+    background = np.asarray(engine._static_tex["background"])[0, 0][::-1]
+    tex_aspect = np.float32(background.shape[0] / background.shape[1])
+    temporal = 10
+    ring = np.zeros((temporal, 2, height, width, 3), np.float32)
+
+    def sstep01(x):
+        t = np.clip(x, 0, 1).astype(np.float32)
+        return (t * t * (3 - 2 * t)).astype(np.float32)
+
+    for index, uniform in enumerate(uniforms):
+        def fragment(u, w, h, a, ring=ring):
+            co = gl_oracle.coords(w, h, a)
+            cam = gl_oracle.get_camera(u, co)
+            st = ((cam["gluv"] + 1) / 2).astype(np.float32)
+            su = ((st[..., 0] * 2 - 1) * tex_aspect + 1) / 2
+            layer0 = gl_oracle._sample_bilinear(
+                background, su.astype(np.float32), st[..., 1], repeat=True)[..., :3]
+            ring[0, 0] = layer0                  # slot 0 = current frame
+            color = np.zeros_like(layer0)
+            for i in range(temporal):
+                factor = sstep01(1.0 - i / temporal)
+                color = color + ring[i, 0] * factor
+            ring[0, 1] = 2 * color / temporal
+            return ring[0, 1]
+        oracle = gl_oracle.render_scene(
+            fragment, uniform, *scene.render_resolution,
+            width, height, 1, scene.aspect_ratio)
+        ring[:] = np.roll(ring, 1, axis=0)       # slot 1 = newest
+        value = gl_oracle.psnr(frames[index], oracle)
+        assert value >= 40.0, f"frame {index}: PSNR {value:.1f} dB < 40"
+
+
 def test_oracle_final_pass_matches_engine_downsample():
     """The oracle's final.glsl tap loop and the engine's fused/pooled
     downsample agree on synthetic data (exact-pooling regime)."""

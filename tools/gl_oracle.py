@@ -453,19 +453,30 @@ def raymarch_fragment(uniforms: dict, width: int, height: int, aspect: float):
 # --------------------------------------------------------------------------- #
 # Final pass (fragment/final.glsl): subsample^2 bilinear taps, u8 store
 
-def _sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray):
-    """GL_LINEAR + CLAMP_TO_EDGE sample of (H, W, C) row-0-bottom storage at
-    texcoords (u right, v up)."""
+def _sample_bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     repeat: bool = False):
+    """GL_LINEAR sample of (H, W, C) row-0-bottom storage at texcoords
+    (u right, v up). CLAMP_TO_EDGE by default; repeat=True wraps both axes
+    (GL_REPEAT — the texture default of image-backed ShaderTextures)."""
     h, w = tex.shape[0], tex.shape[1]
+    if repeat:
+        u = np.mod(u.astype(F), 1.0)
+        v = np.mod(v.astype(F), 1.0)
     x = (u.astype(F) * w - F(0.5))
     y = (v.astype(F) * h - F(0.5))
     x0 = np.floor(x); y0 = np.floor(y)
     fx = (x - x0)[..., None].astype(F)
     fy = (y - y0)[..., None].astype(F)
-    x0i = np.clip(x0.astype(np.int64), 0, w - 1)
-    x1i = np.clip(x0.astype(np.int64) + 1, 0, w - 1)
-    y0i = np.clip(y0.astype(np.int64), 0, h - 1)
-    y1i = np.clip(y0.astype(np.int64) + 1, 0, h - 1)
+    if repeat:
+        x0i = np.mod(x0.astype(np.int64), w)
+        x1i = np.mod(x0.astype(np.int64) + 1, w)
+        y0i = np.mod(y0.astype(np.int64), h)
+        y1i = np.mod(y0.astype(np.int64) + 1, h)
+    else:
+        x0i = np.clip(x0.astype(np.int64), 0, w - 1)
+        x1i = np.clip(x0.astype(np.int64) + 1, 0, w - 1)
+        y0i = np.clip(y0.astype(np.int64), 0, h - 1)
+        y1i = np.clip(y0.astype(np.int64) + 1, 0, h - 1)
     c00 = tex[y0i, x0i]; c01 = tex[y0i, x1i]
     c10 = tex[y1i, x0i]; c11 = tex[y1i, x1i]
     top = c00 + (c01 - c00) * fx
