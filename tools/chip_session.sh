@@ -16,34 +16,36 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "--- $name rc=$rc" | tee -a "$LOG/summary.txt"
 }
 
-# 0. Liveness + warm the persistent compile cache with the headline scene
-step probe        120  python -u -c "import jax; print(jax.devices())"
-grep -q "TPU\|axon" "$LOG/probe.log" || { echo "TUNNEL STILL DEAD"; exit 1; }
+# 0. Liveness: must print the explicit marker from an ACTUAL device call
+# (warnings mention "axon" too — never grep for platform names; a wedged
+# tunnel hangs inside jax.devices() while imports succeed)
+step probe        180  python -u -c "import jax; print('DEVICES_OK', jax.devices())"
+grep -q "DEVICES_OK" "$LOG/probe.log" || { echo "TUNNEL STILL DEAD" | tee -a "$LOG/summary.txt"; exit 1; }
 
 # 1. Escape kernel: predicted-rounds A/B (VERDICT r2 #3 follow-up)
-step escape_base  1200 python tools/bench_escape.py
-step escape_pred  1200 env SHADERFLOW_FRACTAL_PREDICT=1 python tools/bench_escape.py
+step escape_base  1200 python -u tools/bench_escape.py
+step escape_pred  1200 env SHADERFLOW_FRACTAL_PREDICT=1 python -u tools/bench_escape.py
 
 # 2. Mandelbrot graded bench, both settings (target >= 600 fps = 10x)
-step mandel_base  1800 env BENCH_SCENE=mandelbrot python bench.py
-step mandel_pred  1800 env BENCH_SCENE=mandelbrot SHADERFLOW_FRACTAL_PREDICT=1 python bench.py
+step mandel_base  1800 env BENCH_SCENE=mandelbrot python -u bench.py
+step mandel_pred  1800 env BENCH_SCENE=mandelbrot SHADERFLOW_FRACTAL_PREDICT=1 python -u bench.py
 
 # 3. bf16 VPU microbench (decides whether a bf16 tail mode is worth building)
-step vpu_dtype    900  python tools/bench_vpu_dtype.py
+step vpu_dtype    900  python -u tools/bench_vpu_dtype.py
 
 # 4. Visualizer blur level A/B (GL-exactness vs device time)
-step viz_L4       1800 python bench.py
-step viz_L1       1800 env SHADERFLOW_VIZ_BLUR_LEVEL=1 python bench.py
+step viz_L4       1800 python -u bench.py
+step viz_L1       1800 env SHADERFLOW_VIZ_BLUR_LEVEL=1 python -u bench.py
 
 # 5. On-device PSNR gate (refreshes PSNR_GATE.md)
-step psnr_gate    3600 python tools/psnr_gate.py
+step psnr_gate    3600 python -u tools/psnr_gate.py
 
 # 6. Headline variance: five consecutive standalone runs (VERDICT r2 #4)
 for i in 1 2 3 4 5; do
-  step "viz_var_$i" 1800 python bench.py
+  step "viz_var_$i" 1800 python -u bench.py
 done
 
 # 7. Full graded matrix refresh
-step bench_all    7200 python tools/bench_all.py
+step bench_all    7200 python -u tools/bench_all.py
 
 echo "=== DONE ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG/summary.txt"
