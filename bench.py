@@ -25,6 +25,22 @@ sys.path.insert(0, str(REPO / "examples" / "basic"))
 sys.path.insert(0, str(REPO / "examples" / "fractals"))
 
 
+def _device_alive(timeout_s: float = 240.0) -> bool:
+    """Bounded liveness probe in a SUBPROCESS. The tunnel-attached TPU can
+    wedge such that jax.devices() hangs forever (observed >5 h on
+    2026-08-17); a bench that hangs is worse than one that reports failure.
+    Probing in-process would hang this process too."""
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-u", "-c",
+             "import jax; print('DEVICES_OK', jax.devices())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "DEVICES_OK" in probe.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
@@ -35,6 +51,17 @@ def main() -> None:
     # always see identical program shapes
     batch = int(os.environ.get("BENCH_BATCH", 64))
     which = os.environ.get("BENCH_SCENE", "visualizer")
+
+    if not os.environ.get("BENCH_SKIP_PROBE") and not _device_alive():
+        print(json.dumps({
+            "metric": f"{which} export fps @ {width}x{height}@{fps:.0f} ssaa={ssaa}",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "device unreachable: jax.devices() hung past the probe "
+                     "timeout (tunnel wedge) — no measurement possible",
+        }))
+        return
 
     import demo
     import fractals
