@@ -194,14 +194,43 @@ def _run_module_command(scene_class: type, command: str,
     return fn(**vars(parser.parse_args(argv)))
 
 
+def bundled_scenes() -> list[type]:
+    """ShaderScene subclasses of the bundled example files — the default
+    scene collection when no file argument is given, mirroring the
+    reference launcher's package discovery (parsenaut smart(package),
+    /root/reference/shaderflow/__main__.py:8-11)."""
+    import shaderflow_tpu
+    examples = Path(shaderflow_tpu.__file__).resolve().parent.parent / "examples"
+    scenes: list[type] = []
+    seen: set[str] = set()
+    for file in sorted(examples.rglob("*.py")):
+        if file.name.startswith("_") or file.stem in ("assets",):
+            continue
+        sys.path.insert(0, str(file.parent))
+        try:
+            for scene in discover_scenes(file):
+                if scene.__name__ not in seen:
+                    seen.add(scene.__name__)
+                    scenes.append(scene)
+        except Exception as error:  # pragma: no cover - optional deps
+            logger.debug(f"Skipping {file}: {error}")
+        finally:
+            sys.path.remove(str(file.parent))
+    return scenes
+
+
 def main(argv: Optional[list[str]] = None):
-    """`python -m shaderflow_tpu <file.py> <Scene> main --flags`."""
+    """`python -m shaderflow_tpu [<file.py>] <Scene> main --flags`.
+
+    Without a file argument, the bundled example scenes are discovered
+    (so `shaderflow-tpu Visualizer main -o out.mp4` works out of the box,
+    like the reference's `shaderflow <Scene> main`)."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv:
-        print("Usage: python -m shaderflow_tpu <scenes.py> <Scene> main [--flags]")
-        return None
-    path = Path(argv.pop(0))
-    if not path.exists():
-        logger.error(f"Scene file not found: {path}")
-        return None
-    return launch(discover_scenes(path), argv)
+    if argv and argv[0].endswith(".py"):
+        path = Path(argv.pop(0))
+        if not path.exists():
+            logger.error(f"Scene file not found: {path}")
+            return None
+        sys.path.insert(0, str(path.resolve().parent))
+        return launch(discover_scenes(path), argv)
+    return launch(bundled_scenes(), argv)

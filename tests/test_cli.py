@@ -63,3 +63,16 @@ def test_audio_device_commands(capsys):
 def test_unknown_module_command(caplog):
     result = launch([TinyScene], ["TinyScene", "bogus-command"])
     assert result is None
+
+
+def test_bundled_scene_discovery_without_file(capsys):
+    """`python -m shaderflow_tpu` with no file discovers the bundled
+    examples, mirroring the reference launcher's package discovery."""
+    from shaderflow_tpu.cli import bundled_scenes, main
+
+    names = {scene.__name__ for scene in bundled_scenes()}
+    assert {"Basic", "Visualizer", "Mandelbrot", "Life", "PianoRoll"} <= names
+
+    main([])  # listing mode must not raise
+    out = capsys.readouterr().out
+    assert "Visualizer" in out and "Usage" in out
