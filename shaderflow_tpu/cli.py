@@ -201,6 +201,8 @@ def bundled_scenes() -> list[type]:
     /root/reference/shaderflow/__main__.py:8-11)."""
     import shaderflow_tpu
     examples = Path(shaderflow_tpu.__file__).resolve().parent.parent / "examples"
+    if not examples.is_dir():  # installed wheel without the examples tree
+        return []
     scenes: list[type] = []
     seen: set[str] = set()
     for file in sorted(examples.rglob("*.py")):
