@@ -112,3 +112,46 @@ def test_flush_self_pads_without_pad_to():
     got = run(4)
     assert expected.shape == got.shape == (5, 32, 64, 3)
     np.testing.assert_array_equal(expected, got)
+
+
+def test_row_sharded_with_streamed_texture_bit_identical():
+    """Row path + a host-written per-frame texture: streamed textures ride
+    the replicated in_shardings prefix (a dict leaf, not a bare array) —
+    locks the pytree-prefix handling in shard_row_renderer."""
+    import jax.numpy as jnp
+
+    from shaderflow_tpu.parallel.mesh import frame_mesh
+    from shaderflow_tpu.texture import ShaderTexture
+
+    class FeedbackStream(ShaderScene):
+        def build(self):
+            self.noise = ShaderTexture(scene=self, name="noise",
+                                       components=1, track=False)
+            self.noise.size = (8, 8)
+            self.shader.texture.temporal = 3
+
+            def frag(sf):
+                prev = sf.texture(sf.tex("iScreen", 1, 0), sf.astuv)
+                n = sf.texture("noise", sf.astuv)
+                r = 0.5 * prev[..., 0] + 0.5 * n[..., 0]
+                return ops.vec4(r, n[..., 0], prev[..., 0], 1.0)
+            self.shader.fragment = frag
+
+        def update(self):
+            rng = np.random.default_rng(100 + self.frame)
+            self.noise.write(rng.random((8, 8, 1)).astype(np.float32))
+
+    def run(devices):
+        scene = FeedbackStream()
+        scene._setup_run(width=64, height=32, fps=10, time=0.7, freewheel=True)
+        if devices:
+            scene.engine.mesh = frame_mesh(devices)
+        scene.engine.begin_batch()
+        for _ in range(7):
+            scene.next(dt=scene.frametime)
+        return np.asarray(scene.engine.flush(7))
+
+    single = run(None)
+    sharded = run(4)
+    assert single.shape == sharded.shape == (7, 32, 64, 3)
+    np.testing.assert_array_equal(single, sharded)
