@@ -41,6 +41,32 @@ def _device_alive(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def _device_alive_with_retries() -> bool:
+    """One transiently-wedged probe must not zero an entire round: retry
+    the bounded probe with backoff for up to BENCH_PROBE_BUDGET seconds
+    (default 900) before giving up. Tunnel wedges are sometimes momentary
+    (reconnects); genuine multi-hour wedges still fail within the budget."""
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET", 900.0))
+    deadline = time.monotonic() + budget
+    delay = 15.0
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        if _device_alive(timeout_s=min(240.0, max(30.0, remaining))):
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 1.0:
+            return False
+        print(f"bench: device probe {attempt} failed; retrying in "
+              f"{delay:.0f}s ({remaining:.0f}s of budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(delay, remaining))
+        delay = min(delay * 2.0, 120.0)
+
+
 def main() -> None:
     seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
@@ -52,14 +78,15 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 64))
     which = os.environ.get("BENCH_SCENE", "visualizer")
 
-    if not os.environ.get("BENCH_SKIP_PROBE") and not _device_alive():
+    if not os.environ.get("BENCH_SKIP_PROBE") and not _device_alive_with_retries():
         print(json.dumps({
             "metric": f"{which} export fps @ {width}x{height}@{fps:.0f} ssaa={ssaa}",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "error": "device unreachable: jax.devices() hung past the probe "
-                     "timeout (tunnel wedge) — no measurement possible",
+            "error": "device unreachable: every jax.devices() probe hung "
+                     "past its timeout across the full retry budget (tunnel "
+                     "wedge) — no measurement possible",
         }))
         return
 

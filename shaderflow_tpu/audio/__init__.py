@@ -17,6 +17,7 @@ entire export into single device programs instead of per-frame CPU FFTs
 from __future__ import annotations
 
 import math
+import os
 from enum import Enum
 from pathlib import Path
 from typing import Iterable, Optional
@@ -171,25 +172,56 @@ class BrokenAudio:
                 self.full_data = np.ascontiguousarray(samples.T)
         return self.full_data
 
-    # -- realtime devices (optional soundcard dependency) ----------------------
+    # -- realtime devices (soundcard when installed, else in-repo SDL) ---------
+    #
+    # The reference records through the `soundcard` package exclusively
+    # (audio/module.py:98-99,354-379). Here that package is the preferred
+    # backend, but when it is absent the realtime path does NOT degrade to
+    # a warning: shaderflow_tpu.audio.sdlaudio speaks the same API over
+    # SDL2 (bundled with pygame, incl. its own libpulse), so capture still
+    # flows through a real OS audio stack.
+
+    @staticmethod
+    def _backend():
+        """The active realtime-audio backend module, or None. Env override:
+        SHADERFLOW_AUDIO_BACKEND=soundcard|sdl|none."""
+        choice = (os.environ.get("SHADERFLOW_AUDIO_BACKEND") or "").lower()
+        if choice == "none":
+            return None
+        if choice != "sdl":
+            try:
+                import soundcard
+                return soundcard
+            except Exception as error:
+                if choice == "soundcard":
+                    logger.warn(f"soundcard backend requested but unavailable ({error})")
+                    return None
+        try:
+            from shaderflow_tpu.audio import sdlaudio
+            sdlaudio._init_sdl_audio()  # probe: raises if pygame/SDL missing
+            return sdlaudio
+        except Exception as error:
+            logger.debug(f"SDL audio backend unavailable: {error}")
+            return None
 
     @staticmethod
     def recorders() -> Iterable:
-        import soundcard
-        yield from soundcard.all_microphones(include_loopback=True)
+        backend = BrokenAudio._backend()
+        if backend is not None:
+            yield from backend.all_microphones(include_loopback=True)
 
     @staticmethod
     def speakers() -> Iterable:
-        import soundcard
-        yield from soundcard.all_speakers()
+        backend = BrokenAudio._backend()
+        if backend is not None:
+            yield from backend.all_speakers()
 
     def open_recorder(self, name: Optional[str] = None, *, samplerate: float = 44100,
                       channels=None, blocksize: int = 512) -> "BrokenAudio":
-        try:
-            import soundcard
-        except Exception as error:
-            logger.warn(f"soundcard unavailable ({error}); recorder not opened "
-                        f"(realtime audio needs the 'soundcard' package + a sound server)")
+        backend = self._backend()
+        if backend is None:
+            logger.warn("no realtime audio backend (neither 'soundcard' nor "
+                        "pygame/SDL importable); recorder not opened")
             return self
         self.close_recorder()
         if name is None:
@@ -197,10 +229,11 @@ class BrokenAudio:
                 if getattr(device, "isloopback", False):
                     self.recorder_device = device
                     break
-            self.recorder_device = self.recorder_device or soundcard.default_microphone()
+            self.recorder_device = self.recorder_device or backend.default_microphone()
         else:
-            matches = [d for d in self.recorders() if name.lower() in d.name.lower()]
-            self.recorder_device = matches[0] if matches else soundcard.default_microphone()
+            matches = [d for d in self.recorders()
+                       if name.lower() in (d.name or "").lower()]
+            self.recorder_device = matches[0] if matches else backend.default_microphone()
         self.recorder = self.recorder_device.recorder(
             samplerate=samplerate, channels=channels, blocksize=blocksize).__enter__()
         self._samplerate = getattr(self.recorder, "_samplerate", samplerate)
@@ -219,15 +252,16 @@ class BrokenAudio:
         return self
 
     def open_speaker(self, name: Optional[str] = None, *, samplerate=None) -> "BrokenAudio":
-        try:
-            import soundcard
-        except Exception as error:
-            logger.warn(f"soundcard unavailable ({error}); speaker not opened")
+        backend = self._backend()
+        if backend is None:
+            logger.warn("no realtime audio backend (neither 'soundcard' nor "
+                        "pygame/SDL importable); speaker not opened")
             return self
         self.close_speaker()
-        self.speaker_device = soundcard.default_speaker() if name is None else next(
-            (d for d in self.speakers() if name.lower() in d.name.lower()),
-            soundcard.default_speaker())
+        self.speaker_device = backend.default_speaker() if name is None else next(
+            (d for d in self.speakers()
+             if name.lower() in (d.name or "").lower()),
+            backend.default_speaker())
         self.speaker = self.speaker_device.player(
             samplerate=samplerate or self.samplerate).__enter__()
         return self
@@ -305,7 +339,7 @@ class ShaderAudio(BrokenAudio, ShaderModule):
             for device in self.recorders():
                 print(f"recorder: {device.name}")
         except Exception as error:
-            print(f"soundcard unavailable ({error})")
+            print(f"no audio backend available ({error})")
 
     def print_speakers(self) -> None:
         """List available audio playback devices."""
@@ -313,7 +347,7 @@ class ShaderAudio(BrokenAudio, ShaderModule):
             for device in self.speakers():
                 print(f"speaker: {device.name}")
         except Exception as error:
-            print(f"soundcard unavailable ({error})")
+            print(f"no audio backend available ({error})")
 
     @property
     def duration(self) -> float:

@@ -194,11 +194,17 @@ def _run_module_command(scene_class: type, command: str,
     return fn(**vars(parser.parse_args(argv)))
 
 
-def bundled_scenes() -> list[type]:
+def bundled_scenes(keep_paths: Optional[list] = None) -> list[type]:
     """ShaderScene subclasses of the bundled example files — the default
     scene collection when no file argument is given, mirroring the
     reference launcher's package discovery (parsenaut smart(package),
-    /root/reference/shaderflow/__main__.py:8-11)."""
+    /root/reference/shaderflow/__main__.py:8-11).
+
+    `keep_paths`: when given, example dirs that yielded scenes stay on
+    sys.path (appended to the list for the caller to remove after launch),
+    so a discovered scene that lazily imports a sibling at render time
+    resolves the same way it did at discovery time. Without it (standalone
+    calls), sys.path is restored immediately."""
     import shaderflow_tpu
     examples = Path(shaderflow_tpu.__file__).resolve().parent.parent / "examples"
     if not examples.is_dir():  # installed wheel without the examples tree
@@ -208,16 +214,25 @@ def bundled_scenes() -> list[type]:
     for file in sorted(examples.rglob("*.py")):
         if file.name.startswith("_") or file.stem in ("assets",):
             continue
-        sys.path.insert(0, str(file.parent))
+        parent = str(file.parent)
+        inserted = parent not in sys.path
+        if inserted:
+            sys.path.insert(0, parent)
+        found_here = False
         try:
             for scene in discover_scenes(file):
+                found_here = True
                 if scene.__name__ not in seen:
                     seen.add(scene.__name__)
                     scenes.append(scene)
         except Exception as error:  # pragma: no cover - optional deps
             logger.debug(f"Skipping {file}: {error}")
         finally:
-            sys.path.remove(str(file.parent))
+            if inserted:
+                if keep_paths is not None and found_here:
+                    keep_paths.append(parent)
+                else:
+                    sys.path.remove(parent)
     return scenes
 
 
@@ -226,13 +241,28 @@ def main(argv: Optional[list[str]] = None):
 
     Without a file argument, the bundled example scenes are discovered
     (so `shaderflow-tpu Visualizer main -o out.mp4` works out of the box,
-    like the reference's `shaderflow <Scene> main`)."""
+    like the reference's `shaderflow <Scene> main`).
+
+    One sys.path policy for both launch forms: the scene file's directory
+    (or each example dir that yielded scenes) stays on sys.path for the
+    lifetime of launch() — render-time lazy imports resolve exactly like
+    discovery-time ones — and is removed when launch returns, so embedding
+    processes don't accumulate path state."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0].endswith(".py"):
-        path = Path(argv.pop(0))
-        if not path.exists():
-            logger.error(f"Scene file not found: {path}")
-            return None
-        sys.path.insert(0, str(path.resolve().parent))
-        return launch(discover_scenes(path), argv)
-    return launch(bundled_scenes(), argv)
+    inserted: list[str] = []
+    try:
+        if argv and argv[0].endswith(".py"):
+            path = Path(argv.pop(0))
+            if not path.exists():
+                logger.error(f"Scene file not found: {path}")
+                return None
+            parent = str(path.resolve().parent)
+            if parent not in sys.path:
+                sys.path.insert(0, parent)
+                inserted.append(parent)
+            return launch(discover_scenes(path), argv)
+        return launch(bundled_scenes(keep_paths=inserted), argv)
+    finally:
+        for parent in inserted:
+            if parent in sys.path:
+                sys.path.remove(parent)

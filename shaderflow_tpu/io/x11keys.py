@@ -65,6 +65,25 @@ class X11Keymap:
         lib.XKeycodeToKeysym.restype = ctypes.c_ulong
         lib.XKeycodeToKeysym.argtypes = [ctypes.c_void_p, ctypes.c_ubyte,
                                          ctypes.c_int]
+        lib.XGetInputFocus.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_ulong),
+                                       ctypes.POINTER(ctypes.c_int)]
+        lib.XInternAtom.restype = ctypes.c_ulong
+        lib.XInternAtom.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int]
+        lib.XGetWindowProperty.restype = ctypes.c_int
+        lib.XGetWindowProperty.argtypes = [
+            ctypes.c_void_p, ctypes.c_ulong, ctypes.c_ulong, ctypes.c_long,
+            ctypes.c_long, ctypes.c_int, ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_ulong),
+            ctypes.POINTER(ctypes.c_void_p)]
+        lib.XQueryTree.restype = ctypes.c_int
+        lib.XQueryTree.argtypes = [
+            ctypes.c_void_p, ctypes.c_ulong, ctypes.POINTER(ctypes.c_ulong),
+            ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_uint)]
+        lib.XFree.argtypes = [ctypes.c_void_p]
         dpy = lib.XOpenDisplay(display.encode() if display else None)
         if not dpy:
             return
@@ -82,10 +101,78 @@ class X11Keymap:
     def active(self) -> bool:
         return self._dpy is not None
 
+    def _window_pid(self, window: int) -> Optional[int]:
+        """_NET_WM_PID of an X window, or None when the property is absent."""
+        atom = self._lib.XInternAtom(self._dpy, b"_NET_WM_PID", 1)
+        if not atom:
+            return None
+        actual_type = ctypes.c_ulong()
+        actual_format = ctypes.c_int()
+        nitems = ctypes.c_ulong()
+        remaining = ctypes.c_ulong()
+        prop = ctypes.c_void_p()
+        status = self._lib.XGetWindowProperty(
+            self._dpy, window, atom, 0, 1, 0, 6,  # XA_CARDINAL = 6
+            ctypes.byref(actual_type), ctypes.byref(actual_format),
+            ctypes.byref(nitems), ctypes.byref(remaining), ctypes.byref(prop))
+        if status != 0 or not prop.value or nitems.value < 1:
+            return None
+        pid = int(ctypes.cast(prop, ctypes.POINTER(ctypes.c_ulong))[0])
+        self._lib.XFree(prop)
+        return pid
+
+    def focused(self) -> bool:
+        """True unless the input focus POSITIVELY belongs to another process.
+
+        XQueryKeymap reads the global keyboard state regardless of which
+        window has focus, so without this gate keys typed into any other
+        application while the preview runs would be relayed to the scene —
+        including ESC, which quits it (the reference only ever receives
+        focused glfw window events). Resolution: walk the focused window's
+        ancestry for _NET_WM_PID and compare against our pid. Fail OPEN
+        (True) when focus is PointerRoot/None or no PID is advertised —
+        WM-less servers (Xvfb CI) never set focus or the property."""
+        if self._dpy is None:
+            return False
+        window = ctypes.c_ulong()
+        revert = ctypes.c_int()
+        self._lib.XGetInputFocus(self._dpy, ctypes.byref(window),
+                                 ctypes.byref(revert))
+        current = int(window.value)
+        if current in (0, 1):  # None / PointerRoot: no WM focus model
+            return True
+        for _ in range(32):  # ancestry walk; focus often sits on a child
+            pid = self._window_pid(current)
+            if pid is not None:
+                return pid == os.getpid()
+            root = ctypes.c_ulong()
+            parent = ctypes.c_ulong()
+            children = ctypes.c_void_p()
+            count = ctypes.c_uint()
+            if not self._lib.XQueryTree(self._dpy, current, ctypes.byref(root),
+                                        ctypes.byref(parent),
+                                        ctypes.byref(children),
+                                        ctypes.byref(count)):
+                return True
+            if children.value:
+                self._lib.XFree(children)
+            if int(parent.value) in (0, int(root.value)) or int(parent.value) == current:
+                return True  # reached the root without a PID: unknown owner
+            current = int(parent.value)
+        return True
+
     def poll(self) -> tuple[list[int], list[int]]:
-        """Returns (pressed-since-last-poll, released-since-last-poll)."""
+        """Returns (pressed-since-last-poll, released-since-last-poll).
+
+        When input focus belongs to another process, the keymap reads as
+        all-released: held keys get their KeyUp on focus loss and no foreign
+        keystrokes are relayed (glfw focus semantics)."""
         if self._dpy is None:
             return [], []
+        if not self.focused():
+            ups = sorted(self._last)
+            self._last = set()
+            return [], ups
         bitmap = (ctypes.c_char * 32)()
         self._lib.XQueryKeymap(self._dpy, bitmap)
         held: set[int] = set()

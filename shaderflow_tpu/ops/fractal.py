@@ -344,11 +344,13 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0,
     Interior-mask pixels still report max_iter exactly.
     """
     cx, cy = c[..., 0], c[..., 1]
-    # monotone: for z0 == c escape is monotone for every c (see the kernel
-    # comment for the proof), enabling the maskless step form.
+    # monotone: for z0 == c escape is monotone for every c — but the proof
+    # (see the kernel comment) needs radius >= 2 (|z'| >= |z|^2 - |c| >
+    # r^2 - r >= r once |z| > r); smaller radii admit orbits that re-enter,
+    # which the maskless step would over-count.
     return escape_iterations_z0(c, cx, cy, max_iter, radius,
                                 interior=_interior_mask(cx, cy),
-                                saturate=saturate, monotone=True)
+                                saturate=saturate, monotone=(radius >= 2.0))
 
 
 def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,

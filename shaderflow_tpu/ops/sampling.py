@@ -128,9 +128,17 @@ class MipSampler(NamedTuple):
     """A texture bound with its mip pyramid. `levels[0]` is the full-
     resolution Sampler2D; each next level halves (floor) both dimensions.
     Calling it samples with automatic LOD from the uv field; pass `lod=`
-    for an explicit scalar or per-pixel level."""
+    for an explicit scalar or per-pixel level.
+
+    `aniso > 1` enables anisotropic filtering (GL_TEXTURE_MAX_ANISOTROPY,
+    reference /root/reference/shaderflow/texture.py:110-137): auto-LOD
+    sampling takes `aniso` trilinear taps spread along the footprint's
+    major axis, with the mip level chosen from the MINOR axis — oblique
+    minification stays sharp along the view direction instead of blurring
+    isotropically."""
 
     levels: tuple  # tuple[Sampler2D, ...]
+    aniso: int = 1  # static max taps (1 = isotropic trilinear)
 
     @property
     def base(self) -> "Sampler2D":
@@ -172,12 +180,13 @@ class MipSampler(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     MipSampler,
-    lambda s: (tuple(s.levels), None),
-    lambda aux, children: MipSampler(tuple(children)),
+    lambda s: (tuple(s.levels), s.aniso),
+    lambda aux, children: MipSampler(tuple(children), aux),
 )
 
 
-def mip_pyramid(tex: Sampler2D, max_levels: int = None) -> MipSampler:
+def mip_pyramid(tex: Sampler2D, max_levels: int = None,
+                anisotropy: int = 1) -> MipSampler:
     """Build the 2x2 box pyramid down to 1x1 (or max_levels). Odd
     dimensions drop the last row/column per level (the GL NPOT floor
     convention)."""
@@ -196,7 +205,7 @@ def mip_pyramid(tex: Sampler2D, max_levels: int = None) -> MipSampler:
             trimmed = trimmed.reshape(nh, nw, 2, c).mean(axis=2)
         data = trimmed
         levels.append(Sampler2D(data, tex.linear, tex.repeat_x, tex.repeat_y))
-    return MipSampler(tuple(levels))
+    return MipSampler(tuple(levels), int(max(1, anisotropy)))
 
 
 def auto_lod(uv: Array, height: int, width: int) -> Array:
@@ -231,6 +240,8 @@ def sample_mip(mip: MipSampler, uv: Array, lod=None) -> Array:
     if n == 1:
         return sample(levels[0], uv)
     if lod is None:
+        if getattr(mip, "aniso", 1) > 1 and uv.ndim >= 3:
+            return sample_mip_aniso(mip, uv)
         lod = auto_lod(uv, levels[0].height, levels[0].width)
     if not hasattr(lod, "shape") and not hasattr(lod, "dtype"):
         # Static scalar: exactly two levels
@@ -253,6 +264,64 @@ def sample_mip(mip: MipSampler, uv: Array, lod=None) -> Array:
     return out
 
 
+def sample_mip_aniso(mip: MipSampler, uv: Array, taps: int = None) -> Array:
+    """Anisotropic trilinear sampling (GL EXT_texture_filter_anisotropic
+    semantics; reference sampler state texture.py:110-137): `taps` bilinear-
+    per-level samples spread along the screen footprint's MAJOR axis, LOD
+    chosen from the footprint divided by the (clamped) anisotropy ratio —
+    sharp along the compressed direction, antialiased along the long one.
+
+    The uv field must be image-shaped (..., H, W, 2) (the standard Frag
+    coordinate fields), like auto_lod. Cost: taps x levels bilinear samples
+    per pixel — an opt-in quality feature, not a hot-path default."""
+    taps = int(taps or mip.aniso)
+    levels = mip.levels
+    n = len(levels)
+    h0, w0 = levels[0].height, levels[0].width
+    tx = uv[..., 0] * w0
+    ty = uv[..., 1] * h0
+
+    # Signed screen-space derivatives (forward differences; the last pixel
+    # reuses its neighbor's — GL quad derivatives behave the same way).
+    def d(a, axis):
+        diff = jnp.diff(a, axis=axis)
+        last = jnp.take(diff, jnp.array([diff.shape[axis] - 1]), axis=axis)
+        return jnp.concatenate([diff, last], axis=axis)
+
+    dtx_dx, dty_dx = d(tx, -1), d(ty, -1)
+    dtx_dy, dty_dy = d(tx, -2), d(ty, -2)
+    len_x = jnp.sqrt(dtx_dx * dtx_dx + dty_dx * dty_dx)
+    len_y = jnp.sqrt(dtx_dy * dtx_dy + dty_dy * dty_dy)
+    major_is_x = len_x >= len_y
+    major = jnp.maximum(len_x, len_y)
+    minor = jnp.minimum(len_x, len_y)
+    ratio = jnp.clip(major / jnp.maximum(minor, 1e-12), 1.0, float(taps))
+    # LOD from the footprint shrunk by the realized anisotropy (GL spec:
+    # log2(Pmax / N)); clamp at 0 so magnification stays bilinear-sharp.
+    lod = jnp.clip(jnp.maximum(
+        jnp.log2(jnp.maximum(major / ratio, 1e-12)), 0.0), 0.0, float(n - 1))
+    # Major-axis direction in uv units; taps cover the footprint minus one
+    # sample's own width (ratio=1 -> zero spread == plain trilinear). No
+    # aniso spread at magnification (major <= 1 texel).
+    vx = jnp.where(major_is_x, dtx_dx, dtx_dy) / w0
+    vy = jnp.where(major_is_x, dty_dx, dty_dy) / h0
+    spread = jnp.where(major > 1.0, 1.0 - 1.0 / ratio, 0.0)
+
+    level_w = [jnp.clip(1.0 - jnp.abs(lod - k), 0.0, 1.0)[..., None]
+               for k in range(n)]
+    acc = None
+    for k in range(taps):
+        frac = (k + 0.5) / taps - 0.5
+        duv = jnp.stack([vx, vy], axis=-1) * (spread * frac)[..., None]
+        tap_uv = uv + duv
+        tap = None
+        for j, level in enumerate(levels):
+            term = sample(level, tap_uv) * level_w[j]
+            tap = term if tap is None else tap + term
+        acc = tap if acc is None else acc + tap
+    return acc / taps
+
+
 def _interp_matrix(positions: Array, n: int, repeat: bool) -> Array:
     """(M, n) linear-interpolation weight matrix: row m holds the bilinear
     hat weights of continuous texel position positions[m] over the n texels
@@ -273,6 +342,25 @@ def _interp_matrix(positions: Array, n: int, repeat: bool) -> Array:
     return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
 
 
+def _separable_lod(mip: "MipSampler", u_line: Array, v_line: Array) -> Array:
+    """Scalar LOD for axis-aligned grid sampling: the texel footprint is
+    the per-axis line spacing (uniform up to animation), so one traced
+    scalar log2(max footprint) stands in for auto_lod's per-pixel field."""
+    fu = jnp.max(jnp.abs(jnp.diff(u_line))) * mip.width if u_line.shape[0] > 1 else jnp.float32(0)
+    fv = jnp.max(jnp.abs(jnp.diff(v_line))) * mip.height if v_line.shape[0] > 1 else jnp.float32(0)
+    foot = jnp.maximum(jnp.maximum(fu, fv), 1e-12)
+    return jnp.maximum(jnp.log2(foot), 0.0)
+
+
+def _reject_mip(tex, who: str):
+    if isinstance(tex, MipSampler):
+        raise TypeError(
+            f"{who} is a single-level fast path: a mipmapped texture would "
+            "silently lose minification filtering. Pass sampler.base to "
+            "sample level 0 explicitly, or use sample()/sample_separable() "
+            "which select mip levels.")
+
+
 def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array,
                      precision: str = "float32") -> Array:
     """Axis-aligned grid sampling: u varies only along columns, v only along
@@ -288,6 +376,19 @@ def sample_separable(tex: Sampler2D, u_line: Array, v_line: Array,
     faster): the interpolation error stays under ~2^-9 relative — below half
     a uint8 quantization step — which 8-bit video output cannot see.
     """
+    if isinstance(tex, MipSampler):
+        # Mip-aware routing (reference GL would minify here too): blend the
+        # per-level separable samples with hat weights around a traced
+        # scalar LOD from the line spacing. Deep levels are tiny, so the
+        # cost is ~2x level 0 at most.
+        lod = jnp.clip(_separable_lod(tex, u_line, v_line),
+                       0.0, float(len(tex.levels) - 1))
+        out = None
+        for k, level in enumerate(tex.levels):
+            wk = jnp.clip(1.0 - jnp.abs(lod - k), 0.0, 1.0)
+            term = sample_separable(level, u_line, v_line, precision) * wk
+            out = term if out is None else out + term
+        return out
     h, w = tex.height, tex.width
     u = u_line * w - 0.5
     v = (1.0 - v_line) * h - 0.5
@@ -325,6 +426,7 @@ def sample_separable_planes(tex: Sampler2D, u_line: Array, v_line: Array,
     XLA fuses into the sampling dot and blows its scoped VMEM; pure 2D
     matmuls per channel sidestep the 3D layout entirely (and lower to
     cleaner MXU loops than the batched einsum)."""
+    _reject_mip(tex, "sample_separable_planes")
     h, w = tex.height, tex.width
     u = u_line * w - 0.5
     v = (1.0 - v_line) * h - 0.5
@@ -405,6 +507,7 @@ def sample_separable_planes_blocked(
     texels_per_px = (du, dv): upper bounds on texels per output pixel along
     u (columns) and v (rows), including any animated zoom's maximum.
     """
+    _reject_mip(tex, "sample_separable_planes_blocked")
     h, w = tex.height, tex.width
     du, dv = texels_per_px
     u = u_line * w - 0.5
@@ -464,6 +567,7 @@ def sample_rows_planes_blocked(
     NOT column-sampled — the form ops.tailfuse.ColSampled consumes, where
     the final column interpolation happens inside the fused tail kernel.
     Same CLAMP-window contract as sample_separable_planes_blocked."""
+    _reject_mip(tex, "sample_rows_planes_blocked")
     h, w = tex.height, tex.width
     v = (1.0 - v_line) * h - 0.5
     out_h = v.shape[0]

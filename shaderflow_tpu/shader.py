@@ -154,10 +154,12 @@ class Frag:
         if getattr(meta, "mipmaps", False):
             # Honors texture(mipmaps=True): pyramid built in-jit (XLA hoists
             # it out of the frame scan for batch-invariant textures); every
-            # accessor then samples trilinearly with derivative-driven LOD
-            # (ops/sampling.py MipSampler). Reference delegates the same
+            # accessor then samples trilinearly with derivative-driven LOD,
+            # anisotropically when the texture asks for it (ops/sampling.py
+            # MipSampler / sample_mip_aniso). Reference delegates the same
             # duty to the GL driver (texture.py:82-137).
-            return ops.mip_pyramid(sampler)
+            return ops.mip_pyramid(
+                sampler, anisotropy=getattr(meta, "anisotropy", 1))
         return sampler
 
     def texture(self, sampler, uv):

@@ -50,7 +50,7 @@ class ShaderTexture(ShaderModule):
         repeat_x: bool = True,
         repeat_y: bool = True,
         mipmaps: bool = False,
-        anisotropy: int = 16,
+        anisotropy: Optional[int] = None,
         track: Union[bool, float] = 0.0,
         final: bool = False,
         **kwargs,
@@ -69,16 +69,19 @@ class ShaderTexture(ShaderModule):
         # MipSampler) — the reference delegates the same duty to the GL
         # driver (/root/reference/shaderflow/texture.py:82-137).
         self.mipmaps = bool(mipmaps)
-        # Anisotropic filtering is NOT implemented (mip LOD uses the
-        # isotropic max-footprint rule); warn when a non-default value is
-        # requested so the gap is never silent.
-        self.anisotropy = int(anisotropy)
-        if self.anisotropy != 16:
+        # Anisotropic filtering (default x16, reference texture.py:110-137)
+        # is honored for mipmapped textures: MipSampler takes ray-aligned
+        # trilinear taps along the footprint's major axis with minor-axis
+        # LOD (ops/sampling.py sample_mip_aniso). Without mipmaps there is
+        # no minification pyramid to filter against — warn only when the
+        # user EXPLICITLY asked for anisotropy on a mipless texture.
+        self.anisotropy = int(anisotropy) if anisotropy is not None else 16
+        if anisotropy is not None and self.anisotropy > 1 and not self.mipmaps:
             from shaderflow_tpu import logger
             logger.warn(
-                f"Texture {name!r}: anisotropy=x{self.anisotropy} requested, "
-                "but anisotropic filtering is not implemented (isotropic mip "
-                "LOD only)")
+                f"Texture {name!r}: anisotropy=x{self.anisotropy} requested "
+                "without mipmaps=True — anisotropic filtering needs the mip "
+                "pyramid and is ignored on a single-level texture")
         self._track = float(track)
         self.final = bool(final)
 

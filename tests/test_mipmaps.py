@@ -108,7 +108,71 @@ def test_frag_tex_returns_mipsampler_and_scene_renders():
     assert frames[0].astype(np.float32).std() / 255 < 0.1
 
 
-def test_anisotropy_warns(caplog):
+def stripes(n, period, c=3):
+    """Vertical stripes: vary along x with the given texel period."""
+    xx = np.arange(n)
+    val = ((xx // (period // 2)) % 2).astype(np.float32)
+    img = np.broadcast_to(val[None, :, None], (n, n, c))
+    return np.ascontiguousarray(img)
+
+
+def _oblique_uv(out=64, tex=512):
+    """uv field minifying 8x along v but 1:1 along u — an anisotropic
+    footprint (major axis = v). u spans only out/tex of the texture."""
+    u = (np.arange(out) + 0.5) / tex
+    v = (np.arange(out) + 0.5) / out
+    return jnp.asarray(np.stack(np.meshgrid(u, v), -1), jnp.float32)
+
+
+def test_aniso_preserves_minor_axis_detail():
+    """Oblique minification (8x along v, 1x along u) over vertical stripes:
+    isotropic trilinear picks LOD from the MAJOR footprint (3) and washes
+    the stripes to flat grey; anisotropic taps spread along v keep them.
+    This is exactly the sharpness the reference's GL x16 sampler state buys
+    (/root/reference/shaderflow/texture.py:110-137)."""
+    data = jnp.asarray(stripes(512, 8))
+    iso = mip_pyramid(Sampler2D(data, repeat_x=False, repeat_y=False))
+    aniso = mip_pyramid(Sampler2D(data, repeat_x=False, repeat_y=False),
+                        anisotropy=8)
+    assert iso.aniso == 1 and aniso.aniso == 8
+    uv = _oblique_uv()
+    out_iso = np.asarray(sample_mip(iso, uv))
+    out_aniso = np.asarray(sample_mip(aniso, uv))
+    # (a) anisotropy= changes the output on an oblique-minification case
+    assert float(np.abs(out_iso - out_aniso).max()) > 0.2
+    # (b) and preserves the along-u stripe contrast the isotropic path loses
+    # entirely (period-8 stripes vanish at the major-axis LOD's level 3)
+    contrast_iso = out_iso[:, :, 0].std(axis=1).mean()
+    contrast_aniso = out_aniso[:, :, 0].std(axis=1).mean()
+    assert contrast_iso < 0.05
+    assert contrast_aniso > 0.3  # stripes actually visible, not just "less flat"
+
+
+def test_aniso_isotropic_footprint_matches_trilinear():
+    """ratio clamps to 1 on an isotropic footprint -> zero tap spread: the
+    aniso sampler degenerates to plain trilinear (no gratuitous blur)."""
+    data = jnp.asarray(checker(128))
+    iso = mip_pyramid(Sampler2D(data))
+    aniso = mip_pyramid(Sampler2D(data), anisotropy=8)
+    u = (np.arange(32) + 0.5) / 32
+    uv = jnp.asarray(np.stack(np.meshgrid(u, u), -1), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sample_mip(iso, uv)),
+                               np.asarray(sample_mip(aniso, uv)),
+                               atol=2e-5)
+
+
+def test_aniso_pytree_roundtrip():
+    import jax
+    mip = mip_pyramid(Sampler2D(jnp.zeros((16, 16, 3))), anisotropy=4)
+    leaves, treedef = jax.tree_util.tree_flatten(mip)
+    back = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(back, MipSampler) and back.aniso == 4
+
+
+def test_anisotropy_without_mipmaps_warns(caplog):
+    """Explicit anisotropy on a mipless texture is the one unimplementable
+    combination (no pyramid to filter against) — it must warn; the default
+    (x16, like the reference) on a mipless texture must NOT."""
     import logging
     from shaderflow_tpu.scene import ShaderScene
     from shaderflow_tpu.texture import ShaderTexture
@@ -117,7 +181,14 @@ def test_anisotropy_warns(caplog):
         def build(self):
             pass
 
+    scene = Empty()
     with caplog.at_level(logging.WARNING, logger="shaderflow_tpu"):
-        ShaderTexture(scene=Empty(), name="iAniso", anisotropy=8)
-    assert any("anisotropic filtering is not implemented" in r.message
+        ShaderTexture(scene=scene, name="iAniso", anisotropy=8)
+    assert any("anisotropic filtering needs the mip pyramid" in r.message
                for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="shaderflow_tpu"):
+        ShaderTexture(scene=scene, name="iDefault")           # default x16
+        ShaderTexture(scene=scene, name="iOff", anisotropy=1)  # explicit off
+        ShaderTexture(scene=scene, name="iMip", anisotropy=8, mipmaps=True)
+    assert not any("anisotropic" in r.message for r in caplog.records)
