@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from shaderflow_tpu.ops.sampling import Sampler2D, sample, sample_separable
+from shaderflow_tpu.ops.sampling import resample_separable_blocked
 
 Array = jax.Array
 
@@ -104,34 +104,29 @@ def ssaa_downsample(
     # interpolation operators (C_du over columns, R_dv over rows) and the
     # tap grid is axis-aligned, so by linearity the whole tap sum
     # factorizes: sum_{du,dv} C_du∘R_dv = (sum_du C_du)∘(sum_dv R_dv).
-    # The s^2-tap average collapses into ONE separable resample whose band
-    # matrices are the per-axis tap averages — 2 MXU matmuls total instead
-    # of 2*s^2 (identical math; summation order differs by matmul ULPs).
-    tex = Sampler2D(render, linear=True, repeat_x=False, repeat_y=False)
+    # The s^2-tap average collapses into ONE separable resample whose
+    # per-axis matrices are the tap-averaged hat bands (identical math;
+    # summation order differs by matmul ULPs) — contracted BLOCKED
+    # (resample_separable_blocked): each output block reads only its
+    # ~block*texels_per_px window instead of the dense (Ho, Hr) x (Hr, W)
+    # GEMM, which is quadratic waste at 4K ssaa<1 / raw-scale configs.
     u_centers = (jnp.arange(out_width, dtype=jnp.float32) + 0.5) / out_width
     v_centers = 1.0 - (jnp.arange(out_height, dtype=jnp.float32) + 0.5) / out_height
 
-    if subsample == 1:
-        return sample_separable(tex, u_centers, v_centers)[..., :components]
-
-    from shaderflow_tpu.ops.sampling import _interp_matrix
     pixel_u = 1.0 / out_width
     pixel_v = 1.0 / out_height
-    w_cols = 0.0
-    w_rows = 0.0
+    pos_rows = []
+    pos_cols = []
     for k in range(subsample):
         du = -pixel_u / 2.0 + (pixel_u / subsample) * (0.5 + k)
         dv = -pixel_v / 2.0 + (pixel_v / subsample) * (0.5 + k)
         # Texel positions per sampling.sample_separable's conventions
-        w_cols = w_cols + _interp_matrix((u_centers + du) * rw - 0.5, rw, False)
-        w_rows = w_rows + _interp_matrix((1.0 - (v_centers + dv)) * rh - 0.5,
-                                         rh, False)
-    w_cols = w_cols / subsample                               # (Wo, Wr)
-    w_rows = w_rows / subsample                               # (Ho, Hr)
-    rows = jnp.einsum("oh,hwc->owc", w_rows, render,
-                      preferred_element_type=jnp.float32)
-    out = jnp.einsum("pw,owc->opc", w_cols, rows,
-                     preferred_element_type=jnp.float32)
+        pos_cols.append((u_centers + du) * rw - 0.5)
+        pos_rows.append((1.0 - (v_centers + dv)) * rh - 0.5)
+    out = resample_separable_blocked(
+        render,
+        jnp.stack(pos_rows), jnp.stack(pos_cols),
+        rows_per_px=rh / out_height, cols_per_px=rw / out_width)
     return out[..., :components]
 
 

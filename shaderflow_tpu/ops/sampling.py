@@ -463,22 +463,94 @@ def _blocked_axis(pos: Array, out_len: int, n: int, block: int,
     """Per-block window offsets + tile-local hat-weight matrices for 1D
     linear filtering of monotone-ish positions.
 
+    `pos` is (out_len,) — or (T, out_len) for T tap positions per output
+    pixel, whose hat weights are AVERAGED (the separable tap-sum of the
+    SSAA box filter, ops/downsample.py).
+
     Returns (offs (nb,) i32, weights (nb, block, in_block) f32, nb): block b
     of the output interpolates texels [offs[b], offs[b]+in_block) with
     weights[b]. Positions are clipped to [0, n-1] (CLAMP_TO_EDGE; callers
     guarantee no REPEAT seam crossing — see sample_separable_planes)."""
+    if pos.ndim == 1:
+        pos = pos[None, :]
+    taps = pos.shape[0]
     nb = -(-out_len // block)
     pad = nb * block - out_len
     if pad:
-        pos = jnp.concatenate([pos, jnp.broadcast_to(pos[-1:], (pad,))])
+        pos = jnp.concatenate([pos, jnp.broadcast_to(pos[:, -1:], (taps, pad))],
+                              axis=1)
     pos = jnp.clip(pos, 0.0, float(n - 1))
-    blocks = pos.reshape(nb, block)
-    offs = jnp.clip(jnp.floor(blocks.min(axis=1)).astype(jnp.int32) - 1,
+    blocks = pos.reshape(taps, nb, block)
+    offs = jnp.clip(jnp.floor(blocks.min(axis=(0, 2))).astype(jnp.int32) - 1,
                     0, n - in_block)
     texels = jnp.arange(in_block, dtype=jnp.float32)
-    delta = blocks[:, :, None] - offs[:, None, None].astype(jnp.float32) - texels
-    weights = jnp.maximum(1.0 - jnp.abs(delta), 0.0)
+    delta = (blocks[:, :, :, None]
+             - offs[None, :, None, None].astype(jnp.float32) - texels)
+    weights = jnp.maximum(1.0 - jnp.abs(delta), 0.0).mean(axis=0)
     return offs, weights, nb
+
+
+def resample_separable_blocked(data: Array, pos_rows: Array, pos_cols: Array,
+                               rows_per_px: float, cols_per_px: float,
+                               block: int = 240) -> Array:
+    """Banded separable resample of channel-last (H, W, C) data — the
+    general-path engine of the SSAA/raw-scale final pass.
+
+    pos_rows (T, Ho) / pos_cols (T, Wo): continuous texel positions per
+    output pixel (T >= 1 taps averaged — the factored SSAA box filter).
+    rows_per_px / cols_per_px: static upper bounds on |d position / d output
+    pixel| INCLUDING the tap spread. The dense interp matrices are band
+    matrices of bandwidth ~taps+2 that the dense path multiplies as full
+    (Ho, Hr) x (Hr, W) GEMMs — quadratic waste at 4K. Each `block` of output
+    rows/cols instead contracts only a dynamic-sliced window of
+    ~block*bound texels (the sample_separable_planes_blocked recipe,
+    channel-last). CLAMP semantics; bit-identical to the dense band matmul
+    up to summation-order ULPs. Falls back to dense einsums when the
+    windows would span the whole texture anyway."""
+    h, w = data.shape[0], data.shape[1]
+    out_h = pos_rows.shape[-1]
+    out_w = pos_cols.shape[-1]
+
+    def in_block_for(bound: float, n: int) -> int:
+        need = int(math.ceil(block * bound + bound)) + 3
+        return min(n, max(64, -(-need // 64) * 64))
+
+    in_rows = in_block_for(rows_per_px, h)
+    in_cols = in_block_for(cols_per_px, w)
+
+    if in_rows >= h and in_cols >= w:  # dense is already optimal
+        texels_r = jnp.arange(h, dtype=jnp.float32)
+        texels_c = jnp.arange(w, dtype=jnp.float32)
+        pr = jnp.clip(pos_rows if pos_rows.ndim == 2 else pos_rows[None],
+                      0.0, float(h - 1))
+        pc = jnp.clip(pos_cols if pos_cols.ndim == 2 else pos_cols[None],
+                      0.0, float(w - 1))
+        w_rows = jnp.maximum(1.0 - jnp.abs(pr[:, :, None] - texels_r), 0.0).mean(0)
+        w_cols = jnp.maximum(1.0 - jnp.abs(pc[:, :, None] - texels_c), 0.0).mean(0)
+        rows = jnp.einsum("oh,hwc->owc", w_rows, data,
+                          preferred_element_type=jnp.float32)
+        return jnp.einsum("pw,owc->opc", w_cols, rows,
+                          preferred_element_type=jnp.float32)
+
+    roffs, rweights, nb_r = _blocked_axis(pos_rows, out_h, h, block, in_rows)
+    coffs, cweights, nb_c = _blocked_axis(pos_cols, out_w, w, block, in_cols)
+
+    # Stage 1: rows. Each output-row block contracts an (in_rows, W, C) window.
+    row_parts = []
+    for k in range(nb_r):
+        window = jax.lax.dynamic_slice(data, (roffs[k], 0, 0),
+                                       (in_rows, w, data.shape[2]))
+        row_parts.append(jnp.einsum("bi,iwc->bwc", rweights[k], window,
+                                    preferred_element_type=jnp.float32))
+    rows = jnp.concatenate(row_parts, axis=0)[:out_h]
+    # Stage 2: columns of the row-filtered intermediate.
+    col_parts = []
+    for k in range(nb_c):
+        window = jax.lax.dynamic_slice(rows, (0, coffs[k], 0),
+                                       (out_h, in_cols, rows.shape[2]))
+        col_parts.append(jnp.einsum("bi,oic->obc", cweights[k], window,
+                                    preferred_element_type=jnp.float32))
+    return jnp.concatenate(col_parts, axis=1)[:, :out_w]
 
 
 def sample_separable_planes_blocked(

@@ -115,3 +115,73 @@ def test_equal_resolution_stencil_matches_general_taps():
 
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    atol=2e-6, err_msg=f"subsample={subsample}")
+
+
+def test_blocked_resample_matches_dense_band_matmul():
+    """resample_separable_blocked (the banded general-path engine) must
+    equal the dense tap-averaged band matmuls it replaces — both when the
+    windows genuinely engage (in_block < n) and on the dense fallback."""
+    import numpy as np
+    import jax.numpy as jnp
+    from shaderflow_tpu.ops.sampling import resample_separable_blocked
+
+    rng = np.random.default_rng(11)
+
+    def dense(data, pos_rows, pos_cols):
+        h, w = data.shape[0], data.shape[1]
+        tr = jnp.arange(h, dtype=jnp.float32)
+        tc = jnp.arange(w, dtype=jnp.float32)
+        pr = jnp.clip(pos_rows, 0.0, h - 1.0)
+        pc = jnp.clip(pos_cols, 0.0, w - 1.0)
+        w_rows = jnp.maximum(1.0 - jnp.abs(pr[:, :, None] - tr), 0.0).mean(0)
+        w_cols = jnp.maximum(1.0 - jnp.abs(pc[:, :, None] - tc), 0.0).mean(0)
+        rows = jnp.einsum("oh,hwc->owc", w_rows, data)
+        return jnp.einsum("pw,owc->opc", w_cols, rows)
+
+    # Upsample 2x (texels/px = 0.5): blocked windows engage (128 << 512)
+    data = jnp.asarray(rng.random((512, 512, 3), np.float32))
+    out_h = out_w = 1024
+    taps = 2
+    pos_r = jnp.stack([(jnp.arange(out_h) + 0.5) / out_h * 512 - 0.5 + k * 0.2
+                       for k in range(taps)])
+    pos_c = jnp.stack([(jnp.arange(out_w) + 0.5) / out_w * 512 - 0.5 + k * 0.2
+                       for k in range(taps)])
+    got = resample_separable_blocked(data, pos_r, pos_c, 0.5 + 0.2, 0.5 + 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense(data, pos_r, pos_c)),
+                               atol=3e-6)
+
+    # Minification with a small block: windows engage on the downsample side
+    out_h = out_w = 128
+    pos_r = ((jnp.arange(out_h) + 0.5) / out_h * 512 - 0.5)[None]
+    pos_c = ((jnp.arange(out_w) + 0.5) / out_w * 512 - 0.5)[None]
+    got = resample_separable_blocked(data, pos_r, pos_c, 4.0, 4.0, block=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense(data, pos_r, pos_c)),
+                               atol=3e-6)
+
+
+def test_fractional_ssaa_path_unchanged_output():
+    """ssaa<1 (render below output res) goes through the blocked general
+    path; pin its output against a literal per-tap bilinear reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from shaderflow_tpu.ops.downsample import ssaa_downsample
+    from shaderflow_tpu.ops.sampling import Sampler2D, sample_separable
+
+    rng = np.random.default_rng(3)
+    rh, rw = 36, 48      # render res (ssaa=0.75 of 48x64)
+    oh, ow = 48, 64
+    image = jnp.asarray(rng.random((rh, rw, 3), np.float32))
+    subsample = 2
+    got = ssaa_downsample(image, oh, ow, subsample=subsample)
+
+    tex = Sampler2D(image, linear=True, repeat_x=False, repeat_y=False)
+    u = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+    v = 1.0 - (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
+    acc = jnp.zeros((oh, ow, 3), jnp.float32)
+    for x in range(subsample):
+        for y in range(subsample):
+            du = -1.0 / ow / 2 + (1.0 / ow / subsample) * (0.5 + x)
+            dv = -1.0 / oh / 2 + (1.0 / oh / subsample) * (0.5 + y)
+            acc = acc + sample_separable(tex, u + du, v + dv)
+    expected = acc / (subsample * subsample)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-6)

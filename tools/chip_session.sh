@@ -37,6 +37,9 @@ step vpu_dtype    900  python -u tools/bench_vpu_dtype.py
 step viz_L4       1800 python -u bench.py
 step viz_L1       1800 env SHADERFLOW_VIZ_BLUR_LEVEL=1 python -u bench.py
 
+# 4b. Blocked-resample microbench (VERDICT r3 #6: off-profile at 4K ssaa<1)
+step resample     1200 python -u tools/bench_resample.py
+
 # 5. On-device PSNR gate (refreshes PSNR_GATE.md)
 step psnr_gate    3600 python -u tools/psnr_gate.py
 
