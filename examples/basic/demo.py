@@ -428,7 +428,10 @@ def visualizer_frag(sf):
             return t * t * (3.0 - 2.0 * t)
 
         # Base + radial-blur combine happens here (in VMEM) rather than as
-        # its own full-field XLA pass
+        # its own full-field XLA pass. tp.vec serves the planes in the tail
+        # color dtype (f32, or bf16 under SHADERFLOW_TAIL_BF16); f32-derived
+        # factors below re-enter the chain through tp.f so the rgb math
+        # stays in that dtype end to end.
         rgb = [(base + blur) * color_inv
                for base, blur in zip(tp.vec("base"), tp.vec("blur"))]
 
@@ -436,7 +439,7 @@ def visualizer_frag(sf):
         alen = jnp.sqrt(tp.agluv_x * tp.agluv_x + tp.agluv_y * tp.agluv_y)
         t6 = jnp.clip(alen - 0.3, 0.0, 1.0)
         t6 = t6 * t6
-        blink = 1.0 + 5.0 * std * (t6 * t6 * t6)
+        blink = tp.f(1.0 + 5.0 * std * (t6 * t6 * t6))
         rgb = [c * blink for c in rgb]
 
         # Music bars: music_uv = rotate2d(-pi/2) * cam.gluv * scale
@@ -454,26 +457,27 @@ def visualizer_frag(sf):
         ring = radius + 0.5 * bar
         inside = r < radius
         on_bar = r < ring
-        smix = sstep01(0.5 + bar)
-        fall = tailfuse.powf(jnp.maximum((r - ring) * 0.5, 1e-6), 0.05)
+        smix = tp.f(sstep01(0.5 + bar))
+        fall = tp.f(tailfuse.powf(jnp.maximum((r - ring) * 0.5, 1e-6), 0.05))
         rgb = [jnp.where(inside, c * 0.5,
                          jnp.where(on_bar, c + (1.0 - c) * smix, c * fall))
                for c in rgb]
 
         # Fade to deep space with camera-plane distance
-        dmix = sstep01(jnp.sqrt(ux * ux + uy * uy) / 20.0)
+        dmix = tp.f(sstep01(jnp.sqrt(ux * ux + uy * uy) / 20.0))
         rgb = [c + (s - c) * dmix for c, s in zip(rgb, space_rgb)]
 
         # Vignette (screen astuv)
         sx, sy = tp.astuv_x, tp.astuv_y
         vig = sx * (1.0 - sy) * sy * (1.0 - sx)
-        vpow = tailfuse.powf(jnp.maximum(vig * 20.0, 1e-6), 0.1 + 0.15 * vol)
+        vpow = tp.f(tailfuse.powf(jnp.maximum(vig * 20.0, 1e-6),
+                                  0.1 + 0.15 * vol))
         rgb = [c * vpow for c in rgb]
 
         # Waveform overlay top and bottom (screen gluv y)
         gy = tp.gluv_y
-        dark = (jnp.where(1.0 - gy < tp.col("wave0"), 0.8, 1.0)
-                * jnp.where(1.0 + gy < tp.col("wave1"), 0.8, 1.0))
+        dark = tp.f(jnp.where(1.0 - gy < tp.col("wave0"), 0.8, 1.0)
+                    * jnp.where(1.0 + gy < tp.col("wave1"), 0.8, 1.0))
         rgb = [c * dark for c in rgb]
 
         # Out of bounds -> deep space color. LAST: the reference's early

@@ -88,6 +88,19 @@ def powf(x: Array, p) -> Array:
     return jnp.exp(jnp.asarray(p, jnp.float32) * jnp.log(x))
 
 
+def tail_dtype():
+    """Compute dtype for tail COLOR math: SHADERFLOW_TAIL_BF16=1 runs the
+    per-pixel color chain in bfloat16 (half the VMEM traffic for bf16-plane
+    inputs; VPU throughput gain measured by tools/bench_vpu_dtype.py —
+    gate enabling this on that number + the PSNR gate staying >= 40 dB).
+    Coordinates, pooling and quantization stay float32 regardless: bf16's
+    8 mantissa bits would band smooth screen-space gradients, and the u8
+    quantizer needs f32 rounding (ops/downsample.quantize_u8). Read at
+    trace time — benchmark in a fresh process when flipping it."""
+    return jnp.bfloat16 if os.environ.get("SHADERFLOW_TAIL_BF16") == "1" \
+        else jnp.float32
+
+
 # --------------------------------------------------------------------------- #
 # Input wrappers
 
@@ -246,17 +259,21 @@ class TailCtx:
         self.render_height = render_height
         self.render_width = render_width
         self.aspect = aspect
+        # Color-math dtype (see tail_dtype): inputs are served in this
+        # dtype; weakly-typed Python literals in tail fns then keep the
+        # chain there. Coordinates stay f32 (precision).
+        self.dtype = tail_dtype()
 
     # -- inputs --------------------------------------------------------------
 
     def plane(self, name: str, channel: int = 0) -> Array:
-        return self._planes[name][channel].astype(jnp.float32)
+        return self._planes[name][channel].astype(self.dtype)
 
     def channels(self, name: str) -> int:
         return len(self._planes[name])
 
     def vec(self, name: str) -> tuple:
-        return tuple(p.astype(jnp.float32) for p in self._planes[name])
+        return tuple(p.astype(self.dtype) for p in self._planes[name])
 
     # Aliases making intent explicit at call sites
     def vec2(self, name: str) -> tuple:
@@ -266,7 +283,11 @@ class TailCtx:
         return self.vec(name)
 
     def row(self, name: str) -> Array:
-        """Per-row input broadcast to the working shape."""
+        """Per-row input broadcast to the working shape. Stays f32 even
+        under SHADERFLOW_TAIL_BF16: rows/cols usually carry GEOMETRY
+        (camera-plane lines, waveform thresholds) whose bf16 quantization
+        would jitter edges; tail fns pull derived color factors into the
+        chain dtype with tp.f()."""
         return jnp.broadcast_to(self._rows[name].astype(jnp.float32),
                                 self._row_index.shape)
 
@@ -276,6 +297,13 @@ class TailCtx:
 
     def scalar(self, name: str) -> Array:
         return self._scalars[name]
+
+    def f(self, x: Array) -> Array:
+        """Cast a value into the color-math dtype — tail fns wrap the
+        multipliers/mixers they apply to the rgb chain so an f32 subchain
+        (atan2/powf/coordinates keep f32 precision internally) does not
+        promote the whole chain back to f32 under SHADERFLOW_TAIL_BF16."""
+        return jnp.asarray(x).astype(self.dtype)
 
     def lookup(self, name: str, index_plane: Array, channel: int = 0) -> Array:
         """Nearest lookup table[clip(round-down(index)), channel] for a small

@@ -150,8 +150,16 @@ def test_waveform_parity():
         assert disagree < 0.005, f"frame {index}: {disagree:.2%} pixels differ"
 
 
-@pytest.mark.parametrize("blur_level,bar", [(4, 40.0), (1, 50.0)])
-def test_visualizer_psnr(blur_level, bar, monkeypatch):
+@pytest.mark.parametrize("blur_level,bar,tail_bf16", [
+    (4, 40.0, False),
+    (1, 50.0, False),
+    # SHADERFLOW_TAIL_BF16: the color chain in bfloat16 (the staged VPU/
+    # VMEM lever, ROADMAP #1) must still clear the acceptance bar vs the
+    # f32 GL oracle — this is the PSNR gate that decides whether the flag
+    # may ever ship enabled.
+    (1, 40.0, True),
+])
+def test_visualizer_psnr(blur_level, bar, tail_bf16, monkeypatch):
     """Graded config 2 (the flagship): the full visualizer vs a POINTWISE
     GLSL transcription (literal 80-tap blur loop, per-pixel bilinear
     background samples, nearest bar lookup) — the independent check on the
@@ -167,6 +175,8 @@ def test_visualizer_psnr(blur_level, bar, monkeypatch):
     import demo
 
     monkeypatch.setenv("SHADERFLOW_VIZ_BLUR_LEVEL", str(blur_level))
+    if tail_bf16:
+        monkeypatch.setenv("SHADERFLOW_TAIL_BF16", "1")
     scene = demo.Visualizer()
     width, height = 320, 180
     frames, uniforms = engine_frames_and_uniforms(
