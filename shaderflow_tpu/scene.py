@@ -467,7 +467,6 @@ class ShaderScene(ShaderModule):
                      start_frame: int = 0, devices: Optional[int] = None):
         total = export.total_frames
         size = int(batch or self.default_batch_size())
-        pending = None
 
         self.engine.mesh = None
         if devices and devices > 1:
@@ -526,32 +525,39 @@ class ShaderScene(ShaderModule):
             export.frame = 0
             total = total - start_frame
 
+        # In-flight batch queue: the host only synchronizes on a batch once
+        # `depth` newer ones are dispatched, so the device always has >= 1
+        # queued launch when one finishes — the per-batch dispatch/RPC
+        # latency (significant on remote-attached chips) hides behind the
+        # previous batch's compute instead of gapping the stream. depth=1
+        # is the old capture-ahead behavior; each extra level holds one
+        # more (F, H, W, 3) u8 batch on device (~400 MB at 1080p batch 64).
+        depth = max(1, int(os.environ.get("SHADERFLOW_PIPELINE_DEPTH", "2")))
+        in_flight: list = []
         frame_index = 0
         while frame_index < total and not self.quit:
             count = min(size, total - frame_index)
             self.engine.begin_batch()
-            if pending is not None and export.wants_host_frames:
-                # Batch k-1 finishes on device while we capture batch k on
-                # the host; enqueue its device->host copy now so the actual
-                # transfer also overlaps the capture + batch-k compute.
-                # (Never for NullSink: it measures pure render throughput and
-                # must not pay the device->host link.)
-                try:
-                    pending.copy_to_host_async()
-                except Exception:
-                    pass
             for _ in range(count):
                 self.next(dt=self.frametime)
             frames = self.engine.flush(count, pad_to=size)
-
-            # Overlap: fetch/encode batch k-1 while the device renders batch k
-            if pending is not None:
-                export.pipe_batch(pending)
-            pending = frames
+            if export.wants_host_frames:
+                # Enqueue the device->host copy right behind the compute on
+                # the device stream: the transfer overlaps the NEXT batch's
+                # host capture + compute. (Never for NullSink: it measures
+                # pure render throughput and must not pay the link.)
+                try:
+                    frames.copy_to_host_async()
+                except Exception:
+                    pass
+            in_flight.append(frames)
+            # Fetch/encode the oldest batch while newer ones render
+            while len(in_flight) > depth:
+                export.pipe_batch(in_flight.pop(0))
             frame_index += count
 
-        if pending is not None:
-            export.pipe_batch(pending)
+        for frames in in_flight:
+            export.pipe_batch(frames)
 
         result = export.finish()
         export.log_stats(output=result)

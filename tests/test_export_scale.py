@@ -256,3 +256,23 @@ def test_export_loop_overlaps_compute_and_writes(monkeypatch):
     assert added < 0.75 * serial_add, (
         f"no compute/write overlap: wall grew {added:.2f}s "
         f"~ serial {serial_add:.2f}s")
+
+
+def test_pipeline_depth_preserves_order_and_content(tmp_path, monkeypatch):
+    """The in-flight batch queue (SHADERFLOW_PIPELINE_DEPTH) must deliver
+    every frame once, in order, bit-identical to depth=1 — including the
+    partial final batch."""
+    import sys
+    import numpy as np
+    sys.path.insert(0, "examples/basic")
+    import demo
+
+    outputs = {}
+    for depth in ("1", "3"):
+        monkeypatch.setenv("SHADERFLOW_PIPELINE_DEPTH", depth)
+        out = tmp_path / f"depth{depth}.rgb"
+        demo.Basic().main(width=64, height=32, fps=10, time=1.1,
+                          batch=4, output=str(out))
+        outputs[depth] = np.fromfile(out, np.uint8)
+    assert outputs["1"].size == 11 * 32 * 64 * 3
+    np.testing.assert_array_equal(outputs["1"], outputs["3"])
