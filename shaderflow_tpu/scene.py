@@ -567,19 +567,32 @@ class ShaderScene(ShaderModule):
 
     def _realtime_loop(self, frameskip: bool) -> None:
         preview = None
+        window = None
         if self.backend == WindowBackend.Preview:
-            try:
-                import cv2
-                preview = cv2
-                cv2.namedWindow(self.title, cv2.WINDOW_NORMAL)
-                cv2.setMouseCallback(self.title, self._cv2_mouse_event)
-            except Exception:
-                preview = None
+            choice = os.environ.get("SHADERFLOW_PREVIEW", "").lower()
+            if choice != "cv2":
+                # Preferred: a real SDL window (io/sdlwindow.py) — native
+                # focused-window event queue with exact KeyDown/KeyUp +
+                # modifiers, unicode, wheel, resize, file drop and close,
+                # the reference's glfw event surface (scene.py:708-841).
+                try:
+                    from shaderflow_tpu.io.sdlwindow import SDLWindow
+                    window = SDLWindow(self.title, *self.resolution)
+                except Exception as error:
+                    logger.debug(f"SDL window unavailable ({error}); "
+                                 "falling back to cv2 preview")
+            if window is None and choice != "sdl":
+                try:
+                    import cv2
+                    preview = cv2
+                    cv2.namedWindow(self.title, cv2.WINDOW_NORMAL)
+                    cv2.setMouseCallback(self.title, self._cv2_mouse_event)
+                except Exception:
+                    preview = None
         if preview is not None:
-            # Full-fidelity key source where an X server exists (exact
-            # KeyDown/KeyUp incl. Shift/Ctrl/Alt — held-key camera nav and
-            # modifier intercepts need release events that cv2.waitKey
-            # cannot express); AutoReleaseKeys is the lossy fallback.
+            # cv2 fallback key source: the X11 keymap poller where an X
+            # server exists (exact transitions incl. Shift/Ctrl/Alt — cv2's
+            # waitKey cannot express releases); AutoReleaseKeys otherwise.
             from shaderflow_tpu.io.x11keys import AutoReleaseKeys, X11Keymap
             self._keymap = X11Keymap()
             self._autorelease = AutoReleaseKeys()
@@ -591,10 +604,13 @@ class ShaderScene(ShaderModule):
             precise=True,
         )
         self._preview = preview
+        self._window = window
         self._pending_preview = None
         while self.scheduler.next() is not None:
             if self.quit:
                 break
+        if window is not None:
+            window.close()
         if preview is not None:
             preview.destroyAllWindows()
 
@@ -618,7 +634,13 @@ class ShaderScene(ShaderModule):
         self._pending_preview = dispatched
         if frames is None:
             return
-        if getattr(self, "_preview", None) is not None:
+        if getattr(self, "_window", None) is not None:
+            frame = np.asarray(frames[0])
+            if self.render_ui:
+                frame = self._draw_hud(frame.copy())
+            self._window.show(frame)
+            self._dispatch_window_events(self._window.poll())
+        elif getattr(self, "_preview", None) is not None:
             cv2 = self._preview
             frame = np.asarray(frames[0])
             if self.render_ui:
@@ -627,6 +649,59 @@ class ShaderScene(ShaderModule):
             self._poll_input(cv2.waitKey(1) & 0xFF)
         else:
             np.asarray(frames)  # realize the computation for honest pacing
+
+    def _dispatch_window_events(self, events: list) -> None:
+        """SDL window events -> message-bus relays (the reference's glfw
+        callback surface, scene.py:708-841: key press/release with
+        modifiers, unicode, mouse move/press/release/wheel with the
+        Ctrl/Alt/exclusive drag intercepts, resize, file drop, close)."""
+        Mouse = ShaderMessage.Mouse
+        Keyboard = ShaderMessage.Keyboard
+        for event in events:
+            kind = event[0]
+            if kind == "keydown":
+                key = event[1]
+                if key == ShaderKeyboard.Keys.ESCAPE:
+                    self.quit = True
+                self.relay(Keyboard.KeyDown(key=key))
+            elif kind == "keyup":
+                self.relay(Keyboard.KeyUp(key=event[1]))
+            elif kind == "unicode":
+                self.relay(Keyboard.Unicode(char=event[1]))
+            elif kind == "mousemove":
+                _, x, y, dx, dy, held = event
+                u, v = self._pixel_to_gluv(x, y)
+                du = u - self.mouse_gluv[0]
+                dv = v - self.mouse_gluv[1]
+                self.mouse_inside = True
+                if 1 in held or 2 in held:
+                    self._handle_drag(x=x, y=y, dx=dx, dy=dy,
+                                      u=u, v=v, du=du, dv=dv)
+                else:
+                    self.relay(Mouse.Position(x=x, y=y, dx=dx, dy=dy,
+                                              u=u, v=v, du=du, dv=dv))
+            elif kind in ("mousedown", "mouseup"):
+                _, button, x, y = event
+                state = kind == "mousedown"
+                self.mouse_buttons[button] = state
+                u, v = self._pixel_to_gluv(x, y)
+                cls = Mouse.Press if state else Mouse.Release
+                self.relay(cls(button=button, x=x, y=y, u=u, v=v))
+            elif kind == "wheel":
+                step = float(event[1])
+                self.relay(Mouse.Scroll(dy=int(step), dv=step / 10))
+            elif kind == "resize":
+                _, width, height = event
+                self.resize(width=width, height=height)
+                self.relay(ShaderMessage.Window.Resize(width=width,
+                                                       height=height))
+            elif kind == "drop":
+                self.relay(ShaderMessage.Window.FileDrop(files=[event[1]]))
+            elif kind == "enter":
+                self.mouse_inside = bool(event[1])
+                self.relay(Mouse.Enter(state=bool(event[1])))
+            elif kind == "close":
+                self.relay(ShaderMessage.Window.Close())
 
     def _poll_input(self, waitkey_code: int, now: float = None) -> None:
         """Per-frame keyboard input for the preview (reference event
@@ -755,8 +830,10 @@ class ShaderScene(ShaderModule):
     def _draw_hud(self, frame: np.ndarray) -> np.ndarray:
         """Minimal stats overlay for the realtime preview (TAB toggles) —
         the headless-friendly stand-in for the reference's imgui panels
-        (scene.py:856-932): per-module lines + frametimer stats."""
-        cv2 = self._preview
+        (scene.py:856-932): per-module lines + frametimer stats. cv2 is
+        used only for text rasterization, independent of which window
+        backend displays the frame."""
+        import cv2
         lines = [
             f"{self.name}  {self.render_resolution} -> {self.resolution} "
             f"@ {self.ssaa:.2f}x SSAA",
@@ -842,7 +919,9 @@ class ShaderScene(ShaderModule):
             elif message.key == ShaderKeyboard.Keys.F11:
                 logger.info("(F11) Toggling fullscreen")
                 self.fullscreen = not self.fullscreen
-                if getattr(self, "_preview", None) is not None:
+                if getattr(self, "_window", None) is not None:
+                    self._window.set_fullscreen(self.fullscreen)
+                elif getattr(self, "_preview", None) is not None:
                     cv2 = self._preview
                     cv2.setWindowProperty(
                         self.title, cv2.WND_PROP_FULLSCREEN,
