@@ -657,6 +657,17 @@ class ShaderScene(ShaderModule):
         Ctrl/Alt/exclusive drag intercepts, resize, file drop, close)."""
         Mouse = ShaderMessage.Mouse
         Keyboard = ShaderMessage.Keyboard
+
+        def frame_xy(x: int, y: int) -> tuple[int, int]:
+            # Window pixels -> frame pixels (the window may be resized; the
+            # frame blits scaled). The HUD hit map lives in frame space.
+            window = getattr(self, "_window", None)
+            if window is None:
+                return x, y
+            ww, wh = window.size
+            fw, fh = self.resolution
+            return (int(x * fw / max(1, ww)), int(y * fh / max(1, wh)))
+
         for event in events:
             kind = event[0]
             if kind == "keydown":
@@ -670,11 +681,14 @@ class ShaderScene(ShaderModule):
                 self.relay(Keyboard.Unicode(char=event[1]))
             elif kind == "mousemove":
                 _, x, y, dx, dy, held = event
+                self._mouse_xy = (x, y)
                 u, v = self._pixel_to_gluv(x, y)
                 du = u - self.mouse_gluv[0]
                 dv = v - self.mouse_gluv[1]
                 self.mouse_inside = True
-                if 1 in held or 2 in held:
+                if getattr(self, "_hud_dragging", False) and held:
+                    self._hud_mouse("drag", *frame_xy(x, y), dx=dx, dy=dy)
+                elif 1 in held or 2 in held:
                     self._handle_drag(x=x, y=y, dx=dx, dy=dy,
                                       u=u, v=v, du=du, dv=dv)
                 else:
@@ -683,12 +697,23 @@ class ShaderScene(ShaderModule):
             elif kind in ("mousedown", "mouseup"):
                 _, button, x, y = event
                 state = kind == "mousedown"
+                if state and button == 1 and self._hud_mouse(
+                        "press", *frame_xy(x, y)):
+                    self._hud_dragging = True
+                    continue
+                if not state and getattr(self, "_hud_dragging", False):
+                    self._hud_dragging = False
+                    continue
                 self.mouse_buttons[button] = state
                 u, v = self._pixel_to_gluv(x, y)
                 cls = Mouse.Press if state else Mouse.Release
                 self.relay(cls(button=button, x=x, y=y, u=u, v=v))
             elif kind == "wheel":
                 step = float(event[1])
+                mx, my = getattr(self, "_mouse_xy", (-1, -1))
+                if mx >= 0 and self._hud_mouse("wheel", *frame_xy(mx, my),
+                                               dy=int(step)):
+                    continue
                 self.relay(Mouse.Scroll(dy=int(step), dv=step / 10))
             elif kind == "resize":
                 _, width, height = event
@@ -813,11 +838,20 @@ class ShaderScene(ShaderModule):
                    cv2.EVENT_MBUTTONDOWN: (3, True), cv2.EVENT_MBUTTONUP: (3, False)}
         if event in buttons:
             button, state = buttons[event]
+            if state and button == 1 and self._hud_mouse("press", x, y):
+                self._hud_dragging = True
+                return
+            if not state and getattr(self, "_hud_dragging", False):
+                self._hud_dragging = False
+                return
             self.mouse_buttons[button] = state
             cls = Mouse.Press if state else Mouse.Release
             self.relay(cls(button=button, x=x, y=y, u=u, v=v))
         elif event == cv2.EVENT_MOUSEMOVE:
-            if self.mouse_buttons.get(1) or self.mouse_buttons.get(2):
+            if getattr(self, "_hud_dragging", False):
+                dx = int(round((du / 2 / max(1e-9, self.aspect_ratio)) * self.resolution[0]))
+                self._hud_mouse("drag", x, y, dx=dx)
+            elif self.mouse_buttons.get(1) or self.mouse_buttons.get(2):
                 dx = int(round((du / 2 / max(1e-9, self.aspect_ratio)) * self.resolution[0]))
                 dy = int(round((-dv / 2) * self.resolution[1]))
                 self._handle_drag(x=x, y=y, dx=dx, dy=dy, u=u, v=v, du=du, dv=dv)
@@ -835,35 +869,88 @@ class ShaderScene(ShaderModule):
         backend displays the frame."""
         import cv2
         lines = [
-            f"{self.name}  {self.render_resolution} -> {self.resolution} "
-            f"@ {self.ssaa:.2f}x SSAA",
-            f"t={self.time:6.2f}s  frame={self.frame}  speed={self.speed:.2f}",
-            f"fps avg {self.frametimer.framerate_average():6.1f}  "
-            f"min {self.frametimer.framerate_minimum:6.1f}  target {self.fps:.0f}",
+            (f"{self.name}  {self.render_resolution} -> {self.resolution} "
+             f"@ {self.ssaa:.2f}x SSAA", None),
+            (f"t={self.time:6.2f}s  frame={self.frame}  speed={self.speed:.2f}",
+             None),
+            (f"fps avg {self.frametimer.framerate_average():6.1f}  "
+             f"min {self.frametimer.framerate_minimum:6.1f}  target {self.fps:.0f}",
+             None),
         ]
-        # Module list with the selected panel expanded ([ and ] navigate)
+        # Module list with the selected panel expanded ([ and ] navigate,
+        # or click a row; each line carries its mouse action)
         others = [m for m in self.modules if m is not self]
         selected = others[self._ui_index % len(others)] if others else None
-        for module in others:
+        for module_index, module in enumerate(others):
             marker = ">" if module is selected else " "
-            lines.append(f" {marker}{module.uuid:>2} {type(module).__name__}"
-                         + (f" ({module.name})" if module.name else ""))
+            lines.append((f" {marker}{module.uuid:>2} {type(module).__name__}"
+                          + (f" ({module.name})" if module.name else ""),
+                          ("module", module_index)))
             if module is selected:
                 try:
                     for panel_line in module.ui() or []:
-                        lines.append(f"      {panel_line}")
+                        lines.append((f"      {panel_line}", None))
                     fields = module.ui_fields()
                     for index, field in enumerate(fields):
                         edit = "*" if index == self._ui_field_index % len(fields) else " "
-                        lines.append(f"     {edit}{field.render()}   (-/+ edit)")
+                        lines.append((f"     {edit}{field.render()}"
+                                      "   (-/+ or drag)",
+                                      ("field", index)))
                 except Exception as error:
-                    lines.append(f"      ui() error: {error}")
-        for index, text in enumerate(lines[:28]):
+                    lines.append((f"      ui() error: {error}", None))
+        lines = lines[:28]
+        # Row hit map for mouse interaction: row i spans y in
+        # [6 + 16 i, 6 + 16 (i+1)) at x < _HUD_WIDTH (see _hud_mouse)
+        self._hud_rows = [action for _, action in lines]
+        for index, (text, _) in enumerate(lines):
             cv2.putText(frame, text, (8, 18 + 16 * index),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.42, (0, 0, 0), 2, cv2.LINE_AA)
             cv2.putText(frame, text, (8, 18 + 16 * index),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.42, (255, 255, 255), 1, cv2.LINE_AA)
         return frame
+
+    _HUD_WIDTH = 420   # panel hit width, frame pixels
+    _HUD_ROW0 = 6      # first row's top edge
+    _HUD_ROWH = 16     # row pitch (matches putText layout above)
+
+    def _hud_mouse(self, kind: str, x: int, y: int,
+                   dx: int = 0, dy: int = 0) -> bool:
+        """Mouse interaction with the HUD panel (the imgui-class surface:
+        click a module row to open its panel, click a field row to select
+        it, drag horizontally on a field to scrub its value, wheel to
+        nudge). Returns True when the event was consumed by the panel —
+        callers then skip the scene-level relay, exactly like imgui's
+        want_capture_mouse (/root/reference/shaderflow/scene.py:728-735).
+        Coordinates are FRAME pixels (callers map from window pixels)."""
+        rows = getattr(self, "_hud_rows", None)
+        if not self.render_ui or not rows:
+            return False
+        if x >= self._HUD_WIDTH or y < self._HUD_ROW0:
+            return False
+        row = (y - self._HUD_ROW0) // self._HUD_ROWH
+        if row >= len(rows):
+            return False
+        action = rows[row]
+        if kind == "press":
+            if action is None:
+                return True   # clicks on panel text never leak to the scene
+            what, index = action
+            if what == "module":
+                self._ui_index = index
+                self._ui_field_index = 0
+            else:
+                self._ui_field_index = index
+            return True
+        if kind == "drag":
+            if action is not None and action[0] == "field":
+                self._ui_field_index = action[1]
+            if dx:
+                self._ui_nudge(1.0 if dx > 0 else -1.0)
+            return True
+        if kind == "wheel":
+            self._ui_nudge(1.0 if dy > 0 else -1.0)
+            return True
+        return False
 
     # ------------------------------------------------------------------ #
     # Module protocol

@@ -135,3 +135,68 @@ def test_bracket_cycle_resets_field_selection():
     assert scene._ui_field_index == 1
     key(scene, Keys.BRACKET_RIGHT)
     assert scene._ui_field_index == 0
+
+
+def draw_hud(scene):
+    import numpy as np
+    frame = np.zeros((scene.resolution[1], scene.resolution[0], 3), np.uint8)
+    scene.render_ui = True
+    scene._draw_hud(frame)
+    return scene._hud_rows
+
+
+def row_y(scene, row):
+    return scene._HUD_ROW0 + scene._HUD_ROWH * row + 2
+
+
+def test_hud_mouse_click_selects_module_and_field():
+    """HUD v3 mouse interaction (the imgui-class surface): clicking a module
+    row opens its panel, clicking a field row selects the field, and panel
+    clicks never leak to the scene (imgui want_capture_mouse semantics)."""
+    scene = make_scene()
+    scene.resize(width=640, height=480)
+    rows = draw_hud(scene)
+    module_rows = [i for i, a in enumerate(rows) if a and a[0] == "module"]
+    assert len(module_rows) >= 3  # frametimer/keyboard/camera + dynamics
+
+    # Click the LAST module row -> selection moves there
+    target = module_rows[-1]
+    assert scene._hud_mouse("press", 10, row_y(scene, target))
+    assert scene._ui_index == rows[target][1]
+
+    # Redraw: the selected module's panel expands with field rows
+    rows = draw_hud(scene)
+    field_rows = [i for i, a in enumerate(rows) if a and a[0] == "field"]
+    if field_rows:  # camera dynamics expose f/zeta/r fields
+        assert scene._hud_mouse("press", 10, row_y(scene, field_rows[-1]))
+        assert scene._ui_field_index == rows[field_rows[-1]][1]
+
+    # Clicks on plain panel text are consumed, not relayed
+    assert scene._hud_mouse("press", 10, row_y(scene, 0))
+    # Clicks outside the panel are NOT consumed
+    assert not scene._hud_mouse("press", scene._HUD_WIDTH + 10, 40)
+
+
+def test_hud_mouse_drag_and_wheel_edit_value():
+    scene = make_scene()
+    scene.resize(width=640, height=480)
+    dynamics = scene.camera.position
+    select_module(scene, dynamics)
+    rows = draw_hud(scene)
+    field_rows = [i for i, a in enumerate(rows) if a and a[0] == "field"]
+    assert field_rows, "selected dynamics module must expose fields"
+
+    f0 = dynamics.frequency
+    y = row_y(scene, field_rows[0])
+    assert scene._hud_mouse("drag", 10, y, dx=5)       # drag right: +step
+    assert np.isclose(dynamics.frequency, f0 + 0.1)
+    assert scene._hud_mouse("wheel", 10, y, dy=-1)     # wheel down: -step
+    assert np.isclose(dynamics.frequency, f0)
+
+
+def test_hud_toggle_off_consumes_nothing():
+    scene = make_scene()
+    scene.resize(width=640, height=480)
+    draw_hud(scene)
+    scene.render_ui = False
+    assert not scene._hud_mouse("press", 10, 40)
