@@ -15,7 +15,26 @@ from pathlib import Path
 
 import numpy as np
 
-ASSETS = Path(__file__).parent / "assets"
+def _assets_dir() -> Path:
+    """Where generated assets land: next to this file in a source tree,
+    falling back to the user data dir when this file lives inside a
+    read-only install (the wheel bundles examples under
+    shaderflow_tpu/resources/examples — site-packages may not be
+    writable)."""
+    local = Path(__file__).parent / "assets"
+    try:
+        local.mkdir(parents=True, exist_ok=True)
+        probe = local / ".writable"
+        probe.touch()
+        probe.unlink()
+        return local
+    except OSError:
+        import shaderflow_tpu
+        return (shaderflow_tpu.directories.ensure().user_data_path
+                / "example-assets")
+
+
+ASSETS = _assets_dir()
 
 
 def background_image(path: Path = ASSETS / "background.png", size=(1920, 1080)) -> Path:

@@ -206,8 +206,14 @@ def bundled_scenes(keep_paths: Optional[list] = None) -> list[type]:
     resolves the same way it did at discovery time. Without it (standalone
     calls), sys.path is restored immediately."""
     import shaderflow_tpu
-    examples = Path(shaderflow_tpu.__file__).resolve().parent.parent / "examples"
-    if not examples.is_dir():  # installed wheel without the examples tree
+    package = Path(shaderflow_tpu.__file__).resolve().parent
+    # Source tree sibling first; installed wheels bundle the tree at
+    # resources/examples (setup.py, mirroring the reference's force-include
+    # /root/reference/pyproject.toml:47-48)
+    examples = package.parent / "examples"
+    if not examples.is_dir():
+        examples = package / "resources" / "examples"
+    if not examples.is_dir():
         return []
     scenes: list[type] = []
     seen: set[str] = set()

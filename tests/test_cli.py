@@ -76,3 +76,28 @@ def test_bundled_scene_discovery_without_file(capsys):
     main([])  # listing mode must not raise
     out = capsys.readouterr().out
     assert "Visualizer" in out and "Usage" in out
+
+
+def test_bundled_scenes_resources_fallback(tmp_path, monkeypatch):
+    """Installed wheels carry examples at shaderflow_tpu/resources/examples
+    (setup.py force-include, reference pyproject.toml:47-48); discovery must
+    fall back there when the source-tree sibling is absent."""
+    import shutil
+    from pathlib import Path
+    import shaderflow_tpu
+    from shaderflow_tpu import cli
+
+    repo = Path(shaderflow_tpu.__file__).resolve().parent.parent
+    fake_pkg = tmp_path / "site" / "shaderflow_tpu"
+    fake_pkg.mkdir(parents=True)
+    (fake_pkg / "__init__.py").write_text("")
+    target = fake_pkg / "resources" / "examples"
+    shutil.copytree(repo / "examples", target,
+                    ignore=shutil.ignore_patterns("assets", "__pycache__"))
+
+    # Point the real package's __file__ at the fake install layout: the
+    # scenes themselves still import the real shaderflow_tpu internals.
+    monkeypatch.setattr(shaderflow_tpu, "__file__", str(fake_pkg / "__init__.py"))
+    scenes = cli.bundled_scenes()
+    names = {s.__name__ for s in scenes}
+    assert {"Basic", "Visualizer", "Mandelbrot"} <= names
