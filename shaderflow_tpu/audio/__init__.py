@@ -104,7 +104,25 @@ class BrokenAudio:
         return (self.channels, self.buffer_size)
 
     def create_buffer(self) -> None:
-        self.data = np.zeros(self.shape, dtype=self.dtype)
+        # Doubled backing store + write cursor: the classic np.roll ring
+        # (the reference's add_data, audio/module.py:113-129) memmoves the
+        # WHOLE 30 s buffer every chunk (~10 MB -> ~4 ms/frame at 1080p60
+        # realtime, a quarter of the frame budget). Appending at a cursor
+        # and re-anchoring once per buffer-length of samples makes the
+        # amortized cost one chunk copy; `data` stays a zero-copy VIEW of
+        # the newest buffer_size samples, so every consumer (negative
+        # slicing, waveform reshapes) sees exactly the rolled layout.
+        self._store = np.zeros((self.channels, 2 * self.buffer_size),
+                               dtype=self.dtype)
+        self._cursor = self.buffer_size
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._store[:, self._cursor - self.buffer_size:self._cursor]
+
+    @data.setter
+    def data(self, value) -> None:
+        self._store[:, self._cursor - self.buffer_size:self._cursor] = value
 
     def add_data(self, data: np.ndarray) -> Optional[np.ndarray]:
         """Roll-append new (channels, length) samples."""
@@ -112,11 +130,19 @@ class BrokenAudio:
         if data.ndim == 1:
             data = np.tile(data, (self.channels, 1))
         length = data.shape[1]
-        if length >= self.buffer_size:
-            self.data[...] = data[:, -self.buffer_size:]
+        size = self.buffer_size
+        if length >= size:
+            self._store[:, :size] = data[:, -size:]
+            self._cursor = size
         else:
-            self.data[:, :-length] = self.data[:, length:]
-            self.data[:, -length:] = data
+            if self._cursor + length > self._store.shape[1]:
+                # Re-anchor: slide the live window back to the front
+                # (amortized: once per buffer_seconds of audio)
+                self._store[:, :size] = \
+                    self._store[:, self._cursor - size:self._cursor]
+                self._cursor = size
+            self._store[:, self._cursor:self._cursor + length] = data
+            self._cursor += length
         self.tell += length
         return data
 

@@ -132,9 +132,14 @@ class _SDLRecorder:
 class _SDLPlayer:
     """Playback stream through pygame.mixer (which owns SDL's playback
     device — opening a second AudioDevice on it raises "already open").
-    play() converts to the mixer's format, queues a Sound, and returns once
-    the channel finished — i.e. after the device consumed the samples at
-    its own pace, the same blocking semantics as soundcard's player."""
+
+    Streaming semantics match soundcard's player: play() converts the chunk
+    to the mixer's format and hands it to ONE dedicated channel, using the
+    channel's gapless queue slot as the stream buffer. It returns
+    immediately while the device has room (current + one queued chunk) and
+    blocks only on backpressure — a realtime producer pacing chunks at the
+    frame rate therefore never waits (the old wait-until-consumed form cost
+    a full chunk duration per frame, serializing the preview loop)."""
 
     def __init__(self, devicename: Optional[str], samplerate: int,
                  channels: int, blocksize: int = 512):
@@ -146,7 +151,7 @@ class _SDLPlayer:
         self._mixer_channels = int(init[2]) if init else int(channels)
         self._mixer_size = init[1] if init else -16
         self.channels = int(channels)
-        self._busy: list = []
+        self._channel = pygame.mixer.Channel(0)
 
     def __enter__(self) -> "_SDLPlayer":
         return self
@@ -164,18 +169,31 @@ class _SDLPlayer:
             data = np.repeat(data[:, :1], self._mixer_channels, axis=1)
         elif data.shape[1] > self._mixer_channels:
             data = data[:, :self._mixer_channels]
-        rate = self._samplerate
         if self._mixer_size in (-16, 16):
             pcm = np.clip(data, -1.0, 1.0)
             pcm = (pcm * 32767.0).astype(np.int16)
         else:
             pcm = np.ascontiguousarray(data, np.float32)
         sound = pygame.mixer.Sound(buffer=np.ascontiguousarray(pcm).tobytes())
-        channel = sound.play()
-        deadline = time.monotonic() + 10.0 + len(data) / (rate or 44100.0)
-        while channel is not None and channel.get_busy():
+        deadline = time.monotonic() + 10.0 + len(data) / (self._samplerate or 44100.0)
+        while True:
+            if not self._channel.get_busy():
+                self._channel.play(sound)
+                return
+            if self._channel.get_queue() is None:
+                self._channel.queue(sound)   # gapless hand-off
+                return
             if time.monotonic() > deadline:
                 raise TimeoutError("SDL playback stalled for 10 s")
+            time.sleep(0.002)
+
+    def drain(self, timeout: float = 10.0) -> None:
+        """Block until the device consumed everything queued (tests and
+        clean shutdowns; NOT on the streaming path)."""
+        deadline = time.monotonic() + timeout
+        while self._channel.get_busy():
+            if time.monotonic() > deadline:
+                raise TimeoutError("SDL playback stalled while draining")
             time.sleep(0.005)
 
     def close(self) -> None:

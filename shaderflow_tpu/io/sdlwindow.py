@@ -145,7 +145,22 @@ class SDLWindow:
                 out.append(("enter", True))
             elif event.type == pygame.WINDOWLEAVE:
                 out.append(("enter", False))
+            elif event.type == getattr(pygame, "WINDOWMINIMIZED", -1):
+                out.append(("iconify", True))
+            elif event.type == getattr(pygame, "WINDOWRESTORED", -2):
+                out.append(("iconify", False))
         return out
+
+    def set_exclusive(self, state: bool) -> None:
+        """Exclusive mouse mode (reference F1, scene.py:651-682): grab the
+        cursor inside the window and hide it — free-look drags never hit
+        the window edge."""
+        pygame = self._pygame
+        try:
+            pygame.event.set_grab(bool(state))
+            pygame.mouse.set_visible(not state)
+        except Exception:
+            pass  # dummy driver has no cursor
 
     def set_fullscreen(self, state: bool) -> None:
         if state == self._fullscreen:

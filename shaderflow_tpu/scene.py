@@ -624,16 +624,20 @@ class ShaderScene(ShaderModule):
         self.engine.begin_batch()
         self.next(dt=dt)
         dispatched = self.engine.flush(1)
-        # Depth-1 pipelining: display frame k-1 while the device renders
-        # frame k. One frame of visual latency buys ~2x throughput on
-        # remote-attached chips, where the ~60 ms dispatch+completion
-        # round-trip otherwise serializes with the host work (the reference
-        # double-buffers through the GL swapchain the same way,
-        # scene.py:461-462).
-        frames = getattr(self, "_pending_preview", None)
-        self._pending_preview = dispatched
-        if frames is None:
+        # Pipelined display: show frame k-depth while the device renders
+        # frame k. Each level of depth is one frame of visual latency
+        # (16.7 ms at 60 fps) buying one dispatch+completion round-trip of
+        # throughput — significant on remote-attached chips (~60 ms RTT).
+        # Depth 1 is the reference's GL swapchain double-buffer
+        # (scene.py:461-462); SHADERFLOW_PREVIEW_DEPTH raises it.
+        depth = max(1, int(os.environ.get("SHADERFLOW_PREVIEW_DEPTH", "1")))
+        queue = getattr(self, "_pending_preview", None)
+        if queue is None:
+            queue = self._pending_preview = []
+        queue.append(dispatched)
+        if len(queue) <= depth:
             return
+        frames = queue.pop(0)
         if getattr(self, "_window", None) is not None:
             frame = np.asarray(frames[0])
             if self.render_ui:
@@ -725,6 +729,8 @@ class ShaderScene(ShaderModule):
             elif kind == "enter":
                 self.mouse_inside = bool(event[1])
                 self.relay(Mouse.Enter(state=bool(event[1])))
+            elif kind == "iconify":
+                self.relay(ShaderMessage.Window.Iconify(state=bool(event[1])))
             elif kind == "close":
                 self.relay(ShaderMessage.Window.Close())
 
@@ -993,6 +999,10 @@ class ShaderScene(ShaderModule):
             elif message.key == ShaderKeyboard.Keys.F1:
                 logger.info("(F1 ) Toggling exclusive mode")
                 self.exclusive = not self.exclusive
+                if getattr(self, "_window", None) is not None:
+                    # Grab + hide the cursor for free-look (reference glfw
+                    # cursor-disabled mode, scene.py:651-682)
+                    self._window.set_exclusive(self.exclusive)
             elif message.key == ShaderKeyboard.Keys.F2:
                 from datetime import datetime
                 import shaderflow_tpu

@@ -77,13 +77,16 @@ def test_real_capture_and_playback_cycle():
     audio.record(numframes=512)
     assert audio.tell >= tell_before + 512
 
-    # One real playback cycle through the default sink: play() returns only
-    # after the device consumed the samples (the write itself succeeding and
-    # completing at device pace is the assertion)
+    # One real playback cycle through the default sink: play() streams
+    # (returns once the device buffered the chunk); draining afterwards
+    # proves the device actually consumed the samples at its own pace.
     audio.open_speaker()
     assert audio.speaker is not None, "speaker did not open against the backend"
     tone = np.sin(np.linspace(0, 2 * np.pi * 440, 4410, dtype=np.float32))
     audio.play(np.stack([tone] * audio.channels))
+    audio.play(np.stack([tone] * audio.channels))  # second chunk queues gaplessly
+    if hasattr(audio.speaker, "drain"):
+        audio.speaker.drain()
 
     audio.close_recorder()
     audio.close_speaker()
