@@ -112,25 +112,32 @@ class BrokenAudio:
         # amortized cost one chunk copy; `data` stays a zero-copy VIEW of
         # the newest buffer_size samples, so every consumer (negative
         # slicing, waveform reshapes) sees exactly the rolled layout.
-        self._store = np.zeros((self.channels, 2 * self.buffer_size),
+        # _ring_size is the store's OWN window size — never recomputed from
+        # samplerate/buffer_seconds, so a field assigned between now and the
+        # next create_buffer() (e.g. open_recorder setting _samplerate
+        # before it rebuilds) cannot desync the view into emptiness.
+        self._ring_size = self.buffer_size
+        self._store = np.zeros((self.channels, 2 * self._ring_size),
                                dtype=self.dtype)
-        self._cursor = self.buffer_size
+        self._cursor = self._ring_size
 
     @property
     def data(self) -> np.ndarray:
-        return self._store[:, self._cursor - self.buffer_size:self._cursor]
+        return self._store[:, self._cursor - self._ring_size:self._cursor]
 
     @data.setter
     def data(self, value) -> None:
-        self._store[:, self._cursor - self.buffer_size:self._cursor] = value
+        self._store[:, self._cursor - self._ring_size:self._cursor] = value
 
     def add_data(self, data: np.ndarray) -> Optional[np.ndarray]:
         """Roll-append new (channels, length) samples."""
         data = np.asarray(data, dtype=self.dtype)
         if data.ndim == 1:
             data = np.tile(data, (self.channels, 1))
+        if data.shape[0] != self._store.shape[0]:
+            self.create_buffer()  # channel count changed without a rebuild
         length = data.shape[1]
-        size = self.buffer_size
+        size = self._ring_size
         if length >= size:
             self._store[:, :size] = data[:, -size:]
             self._cursor = size
@@ -250,18 +257,28 @@ class BrokenAudio:
                         "pygame/SDL importable); recorder not opened")
             return self
         self.close_recorder()
-        if name is None:
-            for device in self.recorders():
-                if getattr(device, "isloopback", False):
-                    self.recorder_device = device
-                    break
-            self.recorder_device = self.recorder_device or backend.default_microphone()
-        else:
-            matches = [d for d in self.recorders()
-                       if name.lower() in (d.name or "").lower()]
-            self.recorder_device = matches[0] if matches else backend.default_microphone()
-        self.recorder = self.recorder_device.recorder(
-            samplerate=samplerate, channels=channels, blocksize=blocksize).__enter__()
+        try:
+            if name is None:
+                for device in self.recorders():
+                    if getattr(device, "isloopback", False):
+                        self.recorder_device = device
+                        break
+                self.recorder_device = self.recorder_device or backend.default_microphone()
+            else:
+                matches = [d for d in self.recorders()
+                           if name.lower() in (d.name or "").lower()]
+                self.recorder_device = matches[0] if matches else backend.default_microphone()
+            self.recorder = self.recorder_device.recorder(
+                samplerate=samplerate, channels=channels,
+                blocksize=blocksize).__enter__()
+        except Exception as error:
+            # Warn-and-degrade, never crash a realtime session: the scene
+            # keeps running without capture (reference behavior when the
+            # sound server is absent, audio/module.py:29-54)
+            logger.warn(f"Could not open recorder "
+                        f"{getattr(self.recorder_device, 'name', None)!r}: {error}")
+            self.recorder = None
+            return self
         self._samplerate = getattr(self.recorder, "_samplerate", samplerate)
         self._channels = getattr(self.recorder_device, "channels", 2)
         self.create_buffer()
@@ -284,12 +301,17 @@ class BrokenAudio:
                         "pygame/SDL importable); speaker not opened")
             return self
         self.close_speaker()
-        self.speaker_device = backend.default_speaker() if name is None else next(
-            (d for d in self.speakers()
-             if name.lower() in (d.name or "").lower()),
-            backend.default_speaker())
-        self.speaker = self.speaker_device.player(
-            samplerate=samplerate or self.samplerate).__enter__()
+        try:
+            self.speaker_device = backend.default_speaker() if name is None else next(
+                (d for d in self.speakers()
+                 if name.lower() in (d.name or "").lower()),
+                backend.default_speaker())
+            self.speaker = self.speaker_device.player(
+                samplerate=samplerate or self.samplerate).__enter__()
+        except Exception as error:
+            logger.warn(f"Could not open speaker "
+                        f"{getattr(self.speaker_device, 'name', None)!r}: {error}")
+            self.speaker = None
         return self
 
     def close_speaker(self) -> "BrokenAudio":

@@ -77,6 +77,8 @@ class _SDLRecorder:
 
         if devicename is None:  # pygame requires a concrete name string
             names = _device_names(True)
+            if not names:
+                raise RuntimeError("SDL exposes no audio capture devices")
             devicename = names[0]
         # allowed_changes=0: SDL converts whatever the driver delivers to
         # exactly the requested f32/rate/channels — record() never needs
@@ -147,7 +149,11 @@ class _SDLPlayer:
         _init_sdl_audio()
         self._pygame = pygame
         init = pygame.mixer.get_init()
-        self._samplerate = float(init[0]) if init else float(samplerate)
+        # The mixer owns the device at ITS format; the caller's samplerate
+        # is remembered and chunks are linearly resampled onto the mixer's
+        # rate in play() (48 kHz file audio must not play 8.8% slow).
+        self._samplerate = float(samplerate)
+        self._mixer_rate = float(init[0]) if init else 44100.0
         self._mixer_channels = int(init[2]) if init else int(channels)
         self._mixer_size = init[1] if init else -16
         self.channels = int(channels)
@@ -169,13 +175,21 @@ class _SDLPlayer:
             data = np.repeat(data[:, :1], self._mixer_channels, axis=1)
         elif data.shape[1] > self._mixer_channels:
             data = data[:, :self._mixer_channels]
+        # Resample onto the mixer's rate (linear; monitoring path)
+        if abs(self._samplerate - self._mixer_rate) > 0.5 and len(data) > 1:
+            n_out = max(1, int(round(len(data) * self._mixer_rate
+                                     / self._samplerate)))
+            src = np.arange(len(data), dtype=np.float64)
+            dst = np.linspace(0.0, len(data) - 1.0, n_out)
+            data = np.stack([np.interp(dst, src, data[:, c])
+                             for c in range(data.shape[1])], axis=1)
         if self._mixer_size in (-16, 16):
             pcm = np.clip(data, -1.0, 1.0)
             pcm = (pcm * 32767.0).astype(np.int16)
         else:
             pcm = np.ascontiguousarray(data, np.float32)
         sound = pygame.mixer.Sound(buffer=np.ascontiguousarray(pcm).tobytes())
-        deadline = time.monotonic() + 10.0 + len(data) / (self._samplerate or 44100.0)
+        deadline = time.monotonic() + 10.0 + len(data) / (self._mixer_rate or 44100.0)
         while True:
             if not self._channel.get_busy():
                 self._channel.play(sound)
@@ -226,15 +240,15 @@ class SDLDevice:
 
 
 def _device_names(iscapture: bool) -> list[str]:
+    """Real SDL device names only — pygame's AudioDevice requires a concrete
+    name string (no default-device sentinel), so a fabricated placeholder
+    would just bounce off SDL with 'No such device' later."""
     sdl2_audio = _init_sdl_audio()
     try:
-        names = sdl2_audio.get_audio_device_names(iscapture)
+        return sdl2_audio.get_audio_device_names(iscapture)
     except Exception as error:
         logger.debug(f"SDL device enumeration failed: {error}")
-        names = []
-    # The dummy/disk drivers expose no named devices but still open the
-    # default one (devicename=None → SDL default)
-    return names or ["System default"]
+        return []
 
 
 def all_microphones(include_loopback: bool = False) -> list[SDLDevice]:
@@ -250,10 +264,11 @@ def all_speakers() -> list[SDLDevice]:
 
 def _default_device(iscapture: bool) -> SDLDevice:
     names = _device_names(iscapture)
-    device = SDLDevice(names[0], iscapture)
-    if names == ["System default"]:
-        device.name = None  # SDL's default-device sentinel for AudioDevice
-    return device
+    if not names:
+        raise RuntimeError(
+            f"SDL exposes no audio {'capture' if iscapture else 'playback'} "
+            "devices (driver cannot enumerate)")
+    return SDLDevice(names[0], iscapture)
 
 
 def default_microphone() -> SDLDevice:

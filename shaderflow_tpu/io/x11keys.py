@@ -84,6 +84,18 @@ class X11Keymap:
             ctypes.POINTER(ctypes.c_ulong), ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_uint)]
         lib.XFree.argtypes = [ctypes.c_void_p]
+        # X protocol errors (e.g. BadWindow when the focused FOREIGN window
+        # is destroyed between XGetInputFocus and our property/tree queries)
+        # reach Xlib's default handler, which prints and calls exit() —
+        # killing the whole preview. Install a no-op handler; every call
+        # below treats failure as "unknown", which fails open.
+        handler_type = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                                        ctypes.c_void_p)
+        self._x_error_handler = handler_type(lambda _dpy, _event: 0)
+        lib.XSetErrorHandler.restype = ctypes.c_void_p
+        lib.XSetErrorHandler.argtypes = [handler_type]
+        lib.XSetErrorHandler(self._x_error_handler)
+
         dpy = lib.XOpenDisplay(display.encode() if display else None)
         if not dpy:
             return

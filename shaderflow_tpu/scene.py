@@ -870,10 +870,9 @@ class ShaderScene(ShaderModule):
     def _draw_hud(self, frame: np.ndarray) -> np.ndarray:
         """Minimal stats overlay for the realtime preview (TAB toggles) —
         the headless-friendly stand-in for the reference's imgui panels
-        (scene.py:856-932): per-module lines + frametimer stats. cv2 is
-        used only for text rasterization, independent of which window
-        backend displays the frame."""
-        import cv2
+        (scene.py:856-932): per-module lines + frametimer stats. Text
+        rasterizes via cv2 when installed, else pygame.font — independent
+        of which window backend displays the frame."""
         lines = [
             (f"{self.name}  {self.render_resolution} -> {self.resolution} "
              f"@ {self.ssaa:.2f}x SSAA", None),
@@ -908,11 +907,20 @@ class ShaderScene(ShaderModule):
         # Row hit map for mouse interaction: row i spans y in
         # [6 + 16 i, 6 + 16 (i+1)) at x < _HUD_WIDTH (see _hud_mouse)
         self._hud_rows = [action for _, action in lines]
-        for index, (text, _) in enumerate(lines):
-            cv2.putText(frame, text, (8, 18 + 16 * index),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.42, (0, 0, 0), 2, cv2.LINE_AA)
-            cv2.putText(frame, text, (8, 18 + 16 * index),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.42, (255, 255, 255), 1, cv2.LINE_AA)
+        try:
+            import cv2
+            for index, (text, _) in enumerate(lines):
+                cv2.putText(frame, text, (8, 18 + 16 * index),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.42, (0, 0, 0), 2, cv2.LINE_AA)
+                cv2.putText(frame, text, (8, 18 + 16 * index),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.42, (255, 255, 255), 1, cv2.LINE_AA)
+        except ImportError:
+            # cv2 is an optional extra; the SDL preview must not crash on
+            # TAB without it — pygame.font rasterizes the same rows
+            from shaderflow_tpu.io.sdlwindow import SDLWindow
+            SDLWindow.draw_text(frame, [text for text, _ in lines],
+                                origin=(8, self._HUD_ROW0),
+                                pitch=self._HUD_ROWH)
         return frame
 
     _HUD_WIDTH = 420   # panel hit width, frame pixels

@@ -158,8 +158,12 @@ class Frag:
             # anisotropically when the texture asks for it (ops/sampling.py
             # MipSampler / sample_mip_aniso). Reference delegates the same
             # duty to the GL driver (texture.py:82-137).
-            return ops.mip_pyramid(
-                sampler, anisotropy=getattr(meta, "anisotropy", 1))
+            # Anisotropy only on explicit request (texture.py: software
+            # aniso costs taps x levels samples; GL's default x16 is free
+            # sampler state — see ShaderTexture._aniso_explicit)
+            aniso = (getattr(meta, "anisotropy", 1)
+                     if getattr(meta, "_aniso_explicit", False) else 1)
+            return ops.mip_pyramid(sampler, anisotropy=aniso)
         return sampler
 
     def texture(self, sampler, uv):

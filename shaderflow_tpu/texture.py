@@ -76,6 +76,12 @@ class ShaderTexture(ShaderModule):
         # no minification pyramid to filter against — warn only when the
         # user EXPLICITLY asked for anisotropy on a mipless texture.
         self.anisotropy = int(anisotropy) if anisotropy is not None else 16
+        # Filtering engages only on an EXPLICIT request: GL's x16 default is
+        # free fixed-function sampler state, but ours is taps x levels real
+        # samples per pixel — defaulting it on would multiply every
+        # mipmapped texture's sampling cost ~16x for footprints that are
+        # usually isotropic anyway. The attribute still reads 16 (parity).
+        self._aniso_explicit = anisotropy is not None
         if anisotropy is not None and self.anisotropy > 1 and not self.mipmaps:
             from shaderflow_tpu import logger
             logger.warn(

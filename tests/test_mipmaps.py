@@ -192,3 +192,30 @@ def test_anisotropy_without_mipmaps_warns(caplog):
         ShaderTexture(scene=scene, name="iOff", anisotropy=1)  # explicit off
         ShaderTexture(scene=scene, name="iMip", anisotropy=8, mipmaps=True)
     assert not any("anisotropic" in r.message for r in caplog.records)
+
+
+def test_frag_tex_aniso_explicit_opt_in():
+    """Frag.tex engages anisotropic sampling only on an explicit
+    anisotropy= request: GL's default x16 is free sampler state, ours is
+    taps x levels real samples — default mipmapped textures stay trilinear."""
+    from shaderflow_tpu.scene import ShaderScene
+    from shaderflow_tpu.texture import ShaderTexture
+
+    seen = {}
+
+    class Scene(ShaderScene):
+        def build(self):
+            ShaderTexture(scene=self, name="iPlain", width=32, height=32,
+                          components=3, mipmaps=True).from_numpy(checker(32))
+            ShaderTexture(scene=self, name="iSharp", width=32, height=32,
+                          components=3, mipmaps=True,
+                          anisotropy=8).from_numpy(checker(32))
+
+            def frag(sf):
+                seen["plain"] = sf.tex("iPlain").aniso
+                seen["sharp"] = sf.tex("iSharp").aniso
+                return ops.vec4(sf.astuv[..., 0], 0.0, 0.0, 1.0)
+            self.shader.fragment = frag
+
+    Scene().main(width=8, height=8, fps=10, time=0.1, output="null")
+    assert seen == {"plain": 1, "sharp": 8}
