@@ -40,6 +40,11 @@ step viz_L1       1800 env SHADERFLOW_VIZ_BLUR_LEVEL=1 python -u bench.py
 # 4b. Blocked-resample microbench (VERDICT r3 #6: off-profile at 4K ssaa<1)
 step resample     1200 python -u tools/bench_resample.py
 
+# 4c. Realtime preview 1080p60 (VERDICT r3 #7: holds-60 verdict + HUD)
+step preview_1080 1800 python -u tools/bench_preview.py
+# 4d. bf16 tail A/B on the headline (gate: vpu_dtype + PSNR >= 40 dB)
+step viz_bf16     1800 env SHADERFLOW_TAIL_BF16=1 python -u bench.py
+
 # 5. On-device PSNR gate (refreshes PSNR_GATE.md)
 step psnr_gate    3600 python -u tools/psnr_gate.py
 
