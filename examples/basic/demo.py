@@ -284,6 +284,50 @@ def _visualizer_bar_prelude(ctx):
         out_dtype=jnp.bfloat16)
 
 
+def _visualizer_static_prelude(ctx):
+    """Batch-INVARIANT per-pixel fields the tail kernel would otherwise
+    recompute per frame per pixel on the VPU (a Pallas kernel is opaque to
+    XLA's loop-invariant code motion, so hoisting must happen here):
+
+      * fscale: the bar-length falloff 0.05 + 3*sstep01(circle/2) — its
+        atan2 is ~15 VPU ops/pixel/frame in-kernel;
+      * rad0:   |camera-plane uv| (the per-frame radius is rad0 * scale);
+      * blink:  the snare-blink radial power ((clip(|agluv|-0.3))^2)^3.
+
+    Returned with leading axis 1 -> engine static-prelude path (computed
+    once per batch, read by every frame). Exact for the scene's static
+    default 2D camera, same as _visualizer_bar_prelude; the per-frame
+    in-kernel formulation remains the fallback and the semantic reference."""
+    from shaderflow_tpu.ops import tailfuse
+    height, width = ctx.render_size
+    gx = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+          ) * ctx.aspect
+    gy = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    circle = jnp.abs(tailfuse.atan2(gx[None, :], -gy[:, None]) / PI)
+    t = jnp.clip(circle / 2.0, 0.0, 1.0)
+    fscale = 0.05 + 3.0 * (t * t * (3.0 - 2.0 * t))
+    rad0 = jnp.sqrt(gx[None, :] ** 2 + gy[:, None] ** 2)
+    ax = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ay = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    alen = jnp.sqrt(ax[None, :] ** 2 + ay[:, None] ** 2)
+    t6 = jnp.clip(alen - 0.3, 0.0, 1.0) ** 2
+    blink = t6 * t6 * t6
+    # fscale and rad0 gate HARD edges (bar ring thresholds): bf16's ~0.4%
+    # quantization flips boundary pixels (measured ~5 dB PSNR); keep them
+    # f32. blink is a smooth multiplier — bf16 is invisible there.
+    return {"iVizFscale": fscale[None],
+            "iVizRad": rad0[None],
+            "iVizBlink": blink.astype(jnp.bfloat16)[None]}
+
+
+def _static_prelude_field(key):
+    """One batch_preludes entry per field; the shared math CSEs inside the
+    single jitted program."""
+    def fn(ctx):
+        return _visualizer_static_prelude(ctx)[key]
+    return fn
+
+
 def visualizer_frag(sf):
     """Radial bars music visualizer — the flagship scene (visualizer.frag).
 
@@ -388,6 +432,20 @@ def visualizer_frag(sf):
         bar_raw = tailfuse.Indexed(bar_stack[0], bar_stack[1])
     else:
         bar_raw = sf.prelude("iBarField")
+
+    # Batch-invariant per-pixel fields (_visualizer_static_prelude): reading
+    # a precomputed bf16 plane per tile beats recomputing atan2/sqrt/
+    # smoothstep chains per frame per pixel inside the kernel (opaque to
+    # XLA's loop-invariant hoisting). Inactive (None) in realtime/CPU mode
+    # — the tail's in-kernel formulation below remains the reference.
+    def _indexed(name):
+        stack = sf.prelude_indexed(name)
+        return tailfuse.Indexed(stack[0], stack[1]) if stack is not None else None
+
+    fscale_in = _indexed("iVizFscale")
+    rad_in = _indexed("iVizRad")
+    blink_in = _indexed("iVizBlink")
+    has_static = None not in (fscale_in, rad_in, blink_in)
     if bar_raw is None:
         # Per-frame fallback (realtime/streamed spectrogram): nearest bin
         # lookup indexed by the radial angle, channel chosen by the bar's
@@ -435,24 +493,37 @@ def visualizer_frag(sf):
         rgb = [(base + blur) * color_inv
                for base, blur in zip(tp.vec("base"), tp.vec("blur"))]
 
-        # Blink on snare/kick (screen agluv radius)
-        alen = jnp.sqrt(tp.agluv_x * tp.agluv_x + tp.agluv_y * tp.agluv_y)
-        t6 = jnp.clip(alen - 0.3, 0.0, 1.0)
-        t6 = t6 * t6
-        blink = tp.f(1.0 + 5.0 * std * (t6 * t6 * t6))
+        # Blink on snare/kick (screen agluv radius). The radial power is a
+        # frame-invariant field: precomputed (static prelude) when available
+        if has_static:
+            blink = tp.f(1.0 + 5.0 * std * tp.plane("blinkp"))
+        else:
+            alen = jnp.sqrt(tp.agluv_x * tp.agluv_x + tp.agluv_y * tp.agluv_y)
+            t6 = jnp.clip(alen - 0.3, 0.0, 1.0)
+            t6 = t6 * t6
+            blink = tp.f(1.0 + 5.0 * std * (t6 * t6 * t6))
         rgb = [c * blink for c in rgb]
 
         # Music bars: music_uv = rotate2d(-pi/2) * cam.gluv * scale
         # = (-y, x) * scale — GLSL's column-major mat2 applies the
-        # TRANSPOSE of the textbook rotation (shaderflow.glsl:75-77)
+        # TRANSPOSE of the textbook rotation (shaderflow.glsl:75-77).
+        # atan2(k a, k b) == atan2(a, b) and |m| == scale * |uv|, so the
+        # angle falloff and the unit radius are frame-invariant fields
+        # (static preludes); only the scale multiply is per-frame.
         scale = 1.0 - 0.4 * jnp.sqrt(jnp.abs(vol))
-        ux, uy = tp.col("camx"), tp.row("camy")
-        mx, my = -uy * scale, ux * scale
-        circle = jnp.abs(tailfuse.atan2(my, mx) / PI)
         radius = 0.17
+        if has_static:
+            fscale = tp.plane("fscale")
+            rad0 = tp.plane("rad0")
+            r = rad0 * scale
+        else:
+            ux, uy = tp.col("camx"), tp.row("camy")
+            mx, my = -uy * scale, ux * scale
+            circle = jnp.abs(tailfuse.atan2(my, mx) / PI)
+            fscale = 0.05 + 3.0 * sstep01(circle / 2.0)
+            rad0 = jnp.sqrt(ux * ux + uy * uy)
+            r = jnp.sqrt(mx * mx + my * my)
 
-        fscale = 0.05 + 3.0 * sstep01(circle / 2.0)
-        r = jnp.sqrt(mx * mx + my * my)
         bar = jnp.sqrt(tp.plane("bar") / 1000.0) * fscale
         ring = radius + 0.5 * bar
         inside = r < radius
@@ -463,8 +534,8 @@ def visualizer_frag(sf):
                          jnp.where(on_bar, c + (1.0 - c) * smix, c * fall))
                for c in rgb]
 
-        # Fade to deep space with camera-plane distance
-        dmix = tp.f(sstep01(jnp.sqrt(ux * ux + uy * uy) / 20.0))
+        # Fade to deep space with camera-plane distance (|uv| == rad0)
+        dmix = tp.f(sstep01(rad0 / 20.0))
         rgb = [c + (s - c) * dmix for c, s in zip(rgb, space_rgb)]
 
         # Vignette (screen astuv)
@@ -486,15 +557,18 @@ def visualizer_frag(sf):
         oob = tp.col("oob") > 0.5
         return [jnp.where(oob, s, c) for c, s in zip(rgb, space_rgb)]
 
-    return sf.tail(
-        tail,
+    inputs = dict(
         base=tailfuse.ColSampled(base_rows, u_line, texels_per_px=base_tpp),
         blur=tailfuse.ColSampled(blur_rows, u_line, texels_per_px=blur_tpp),
         bar=bar_raw,
-        camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y),
         oob=tailfuse.Col(cam_oob),
         wave0=tailfuse.Col(wave[:, 0]), wave1=tailfuse.Col(wave[:, 1]),
         vol=sf.iAudioVolume, std=sf.iAudioSTD)
+    if has_static:
+        inputs.update(fscale=fscale_in, rad0=rad_in, blinkp=blink_in)
+    else:
+        inputs.update(camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y))
+    return sf.tail(tail, **inputs)
 
 
 class Visualizer(ShaderScene):
@@ -520,6 +594,8 @@ class Visualizer(ShaderScene):
             assets.background_image())
         self.shader.fragment = visualizer_frag
         self.batch_preludes["iBarField"] = _visualizer_bar_prelude
+        for key in ("iVizFscale", "iVizRad", "iVizBlink"):
+            self.batch_preludes[key] = _static_prelude_field(key)
 
     def handle(self, message):
         ShaderScene.handle(self, message)

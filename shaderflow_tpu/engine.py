@@ -282,6 +282,7 @@ class RenderEngine:
             # PreludeCtx). Needs the stepped frame index column to gather
             # per-frame sequence rows.
             prelude_vals = {}
+            static_prelude_vals = {}
             if prelude_fns:
                 frame_offset = next(
                     (offset for (name, offset, size, kind, shape) in spec
@@ -294,11 +295,19 @@ class RenderEngine:
                     for name, fn in prelude_fns.items():
                         value = fn(ctx)
                         if value is not None:
-                            if value.shape[0] != packed.shape[0]:
+                            if value.shape[0] == 1:
+                                # BATCH-INVARIANT prelude (leading axis 1):
+                                # captured by the scan closure instead of
+                                # riding the xs — every frame reads the one
+                                # entry (Indexed clips its index to 0), and
+                                # XLA computes it once per batch.
+                                static_prelude_vals[name] = value
+                            elif value.shape[0] != packed.shape[0]:
                                 raise ValueError(
                                     f"Prelude {name!r}: leading axis "
                                     f"{value.shape[0]} != batch {packed.shape[0]}")
-                            prelude_vals[name] = value
+                            else:
+                                prelude_vals[name] = value
 
             def body(carry, per_frame):
                 packed_row, frame_streams, frame_preludes, step_id = per_frame
@@ -352,8 +361,11 @@ class RenderEngine:
                             textures=textures,
                             texture_meta=meta_snapshot,
                             layer=layer,
-                            preludes=frame_preludes,
-                            prelude_stacks=prelude_vals,
+                            preludes={**frame_preludes,
+                                      **{n: v[0] for n, v in
+                                         static_prelude_vals.items()}},
+                            prelude_stacks={**prelude_vals,
+                                            **static_prelude_vals},
                             prelude_step=step_id,
                         )
                         out = prog.render_layer(ctx)
