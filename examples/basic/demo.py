@@ -312,11 +312,19 @@ def _visualizer_static_prelude(ctx):
     alen = jnp.sqrt(ax[None, :] ** 2 + ay[:, None] ** 2)
     t6 = jnp.clip(alen - 0.3, 0.0, 1.0) ** 2
     blink = t6 * t6 * t6
+    # Vignette: vpow = pow(vig*20, p) with a per-frame exponent p ->
+    # hoist log(max(vig*20, eps)); the kernel keeps only exp(p * lvig)
+    sx = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    sy = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    vig = (sx * (1.0 - sx))[None, :] * (sy * (1.0 - sy))[:, None]
+    lvig = jnp.log(jnp.maximum(vig * 20.0, 1e-6))
     # fscale and rad0 gate HARD edges (bar ring thresholds): bf16's ~0.4%
     # quantization flips boundary pixels (measured ~5 dB PSNR); keep them
-    # f32. blink is a smooth multiplier — bf16 is invisible there.
+    # f32, like lvig (it feeds an exp whose argument spans ~[-14, 1.2]).
+    # blink is a smooth multiplier — bf16 is invisible there.
     return {"iVizFscale": fscale[None],
             "iVizRad": rad0[None],
+            "iVizLvig": lvig[None],
             "iVizBlink": blink.astype(jnp.bfloat16)[None]}
 
 
@@ -445,7 +453,8 @@ def visualizer_frag(sf):
     fscale_in = _indexed("iVizFscale")
     rad_in = _indexed("iVizRad")
     blink_in = _indexed("iVizBlink")
-    has_static = None not in (fscale_in, rad_in, blink_in)
+    lvig_in = _indexed("iVizLvig")
+    has_static = None not in (fscale_in, rad_in, blink_in, lvig_in)
     if bar_raw is None:
         # Per-frame fallback (realtime/streamed spectrogram): nearest bin
         # lookup indexed by the radial angle, channel chosen by the bar's
@@ -538,11 +547,15 @@ def visualizer_frag(sf):
         dmix = tp.f(sstep01(rad0 / 20.0))
         rgb = [c + (s - c) * dmix for c, s in zip(rgb, space_rgb)]
 
-        # Vignette (screen astuv)
-        sx, sy = tp.astuv_x, tp.astuv_y
-        vig = sx * (1.0 - sy) * sy * (1.0 - sx)
-        vpow = tp.f(tailfuse.powf(jnp.maximum(vig * 20.0, 1e-6),
-                                  0.1 + 0.15 * vol))
+        # Vignette (screen astuv): the log of the field is frame-invariant
+        # (static prelude); only exp(p * lvig) is per-frame
+        if has_static:
+            vpow = tp.f(jnp.exp((0.1 + 0.15 * vol) * tp.plane("lvig")))
+        else:
+            sx, sy = tp.astuv_x, tp.astuv_y
+            vig = sx * (1.0 - sy) * sy * (1.0 - sx)
+            vpow = tp.f(tailfuse.powf(jnp.maximum(vig * 20.0, 1e-6),
+                                      0.1 + 0.15 * vol))
         rgb = [c * vpow for c in rgb]
 
         # Waveform overlay top and bottom (screen gluv y)
@@ -565,7 +578,8 @@ def visualizer_frag(sf):
         wave0=tailfuse.Col(wave[:, 0]), wave1=tailfuse.Col(wave[:, 1]),
         vol=sf.iAudioVolume, std=sf.iAudioSTD)
     if has_static:
-        inputs.update(fscale=fscale_in, rad0=rad_in, blinkp=blink_in)
+        inputs.update(fscale=fscale_in, rad0=rad_in, blinkp=blink_in,
+                      lvig=lvig_in)
     else:
         inputs.update(camx=tailfuse.Col(cam_x), camy=tailfuse.Row(cam_y))
     return sf.tail(tail, **inputs)
@@ -594,7 +608,7 @@ class Visualizer(ShaderScene):
             assets.background_image())
         self.shader.fragment = visualizer_frag
         self.batch_preludes["iBarField"] = _visualizer_bar_prelude
-        for key in ("iVizFscale", "iVizRad", "iVizBlink"):
+        for key in ("iVizFscale", "iVizRad", "iVizBlink", "iVizLvig"):
             self.batch_preludes[key] = _static_prelude_field(key)
 
     def handle(self, message):
