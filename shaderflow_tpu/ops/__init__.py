@@ -12,7 +12,8 @@ from shaderflow_tpu.ops.complexmath import (
 )
 from shaderflow_tpu.ops.sampling import (
     MipSampler, Sampler2D, agtexture, astexture, auto_lod, gmtexture, gtexture,
-    mip_pyramid, sample, sample_mip, stexture, texel_fetch,
+    mip_pyramid, resample_separable_blocked, sample, sample_mip,
+    sample_mip_aniso, stexture, texel_fetch,
 )
 from shaderflow_tpu.ops.stdlib import *  # noqa: F401,F403 — the GLSL-like vocabulary
 from shaderflow_tpu.ops.stdlib import (  # explicit re-exports for linters

@@ -163,3 +163,35 @@ def test_prelude_returning_none_deactivates():
     scene.next(dt=scene.frametime)
     frames = np.asarray(engine.flush(1))
     np.testing.assert_allclose(frames[0, 0, 0, 0] / 255, 0.25, atol=0.01)
+
+
+def test_static_prelude_shared_across_frames():
+    """A batch prelude returning leading-axis-1 takes the STATIC path:
+    computed once per batch, captured by the scan closure (not scanned as
+    xs), every frame reads the one entry via Frag.prelude()."""
+    class StaticPreluded(ShaderScene):
+        def build(self):
+            def prelude(ctx):
+                h, w = ctx.render_size
+                # Frame-invariant field with leading axis 1
+                return 0.5 * jnp.ones((1, h, w), jnp.float32)
+
+            self.batch_preludes["flat"] = prelude
+
+            def frag(sf):
+                plane = sf.prelude("flat")
+                assert plane is not None
+                assert plane.shape == tuple(reversed(self.render_resolution))
+                return ops.vec4(plane, sf.iTime / 10.0, 0.0, 1.0)
+            self.shader.fragment = frag
+
+    scene = StaticPreluded()
+    scene._setup_run(width=16, height=8, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(4):
+        scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(4))
+    # Every frame reads the shared 0.5 plane; green still varies per frame
+    np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.5] * 4, atol=0.01)
+    assert len({frames[k, 0, 0, 1] for k in range(4)}) > 1
