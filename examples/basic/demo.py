@@ -297,7 +297,14 @@ def _visualizer_static_prelude(ctx):
     Returned with leading axis 1 -> engine static-prelude path (computed
     once per batch, read by every frame). Exact for the scene's static
     default 2D camera, same as _visualizer_bar_prelude; the per-frame
-    in-kernel formulation remains the fallback and the semantic reference."""
+    in-kernel formulation remains the fallback and the semantic reference.
+
+    Deactivates (None) outside offline mode — signaled, like the bar
+    prelude, by the spectrogram sequence's absence: in an interactive
+    preview the user can pan/zoom the camera, and these screen-space fields
+    must NOT freeze the camera-dependent geometry."""
+    if ctx.sequence("iSpectrogram") is None:
+        return None
     from shaderflow_tpu.ops import tailfuse
     height, width = ctx.render_size
     gx = ((jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
@@ -332,7 +339,8 @@ def _static_prelude_field(key):
     """One batch_preludes entry per field; the shared math CSEs inside the
     single jitted program."""
     def fn(ctx):
-        return _visualizer_static_prelude(ctx)[key]
+        fields = _visualizer_static_prelude(ctx)
+        return None if fields is None else fields[key]
     return fn
 
 
@@ -522,8 +530,11 @@ def visualizer_frag(sf):
         scale = 1.0 - 0.4 * jnp.sqrt(jnp.abs(vol))
         radius = 0.17
         if has_static:
-            fscale = tp.plane("fscale")
-            rad0 = tp.plane("rad0")
+            # GEOMETRY planes: explicit f32 — they gate the bar ring's hard
+            # edges, which bf16 tail mode must not quantize (the reason the
+            # prelude stores them f32 in the first place)
+            fscale = tp.plane("fscale", dtype=jnp.float32)
+            rad0 = tp.plane("rad0", dtype=jnp.float32)
             r = rad0 * scale
         else:
             ux, uy = tp.col("camx"), tp.row("camy")
@@ -550,7 +561,8 @@ def visualizer_frag(sf):
         # Vignette (screen astuv): the log of the field is frame-invariant
         # (static prelude); only exp(p * lvig) is per-frame
         if has_static:
-            vpow = tp.f(jnp.exp((0.1 + 0.15 * vol) * tp.plane("lvig")))
+            vpow = tp.f(jnp.exp((0.1 + 0.15 * vol)
+                                * tp.plane("lvig", dtype=jnp.float32)))
         else:
             sx, sy = tp.astuv_x, tp.astuv_y
             vig = sx * (1.0 - sy) * sy * (1.0 - sx)

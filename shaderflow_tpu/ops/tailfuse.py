@@ -266,8 +266,11 @@ class TailCtx:
 
     # -- inputs --------------------------------------------------------------
 
-    def plane(self, name: str, channel: int = 0) -> Array:
-        return self._planes[name][channel].astype(self.dtype)
+    def plane(self, name: str, channel: int = 0, dtype=None) -> Array:
+        """A channel plane in the tail color dtype — or an explicit `dtype`
+        for GEOMETRY planes (fields gating hard edges must stay f32 even
+        under SHADERFLOW_TAIL_BF16, like rows/cols; see bf16-edge-gating)."""
+        return self._planes[name][channel].astype(dtype or self.dtype)
 
     def channels(self, name: str) -> int:
         return len(self._planes[name])
