@@ -164,12 +164,19 @@ def test_pump_overlap_write_bound(drain_ffmpeg, tmp_path, monkeypatch):
         assert read_stub_count(out) == frames_total * FRAME_BYTES
         return wall
 
-    wall_write = run(0.0, tmp_path / "w.mp4")
-    wall_both = run(per_frame_render, tmp_path / "rw.mp4")
+    # Timing test: retry under transient host contention (a loaded CI box
+    # can stretch either run's sleeps) — genuine lost overlap fails all
+    # three attempts deterministically.
     render_total = frames_total * per_frame_render
-    added = wall_both - wall_write
-    print(f"\noverlap: write-bound wall {wall_write:.2f}s; +{render_total:.2f}s "
-          f"of producer work only added {added:.2f}s")
+    added = None
+    for attempt in range(3):
+        wall_write = run(0.0, tmp_path / f"w{attempt}.mp4")
+        wall_both = run(per_frame_render, tmp_path / f"rw{attempt}.mp4")
+        added = wall_both - wall_write
+        print(f"\noverlap[{attempt}]: write-bound wall {wall_write:.2f}s; "
+              f"+{render_total:.2f}s of producer work added {added:.2f}s")
+        if added < 0.5 * render_total:
+            break
     # Overlapped: most of the producer's time hid under the writes
     assert added < 0.5 * render_total, (
         f"no overlap: {render_total:.2f}s of producer work added "
