@@ -773,9 +773,33 @@ class ShaderScene(ShaderModule):
         for code in auto.poll(now):
             self.relay(Keyboard.KeyUp(key=code))
 
+    def _ui_panels(self) -> list:
+        """HUD panel order: every module, the scene's own panel last (the
+        reference's imgui main-menu sliders — speed/quality/ssaa — live on
+        the scene module itself)."""
+        return [m for m in self.modules if m is not self] + [self]
+
     def _ui_selected_module(self):
-        others = [m for m in self.modules if m is not self]
-        return others[self._ui_index % len(others)] if others else None
+        panels = self._ui_panels()
+        return panels[self._ui_index % len(panels)] if panels else None
+
+    def ui(self) -> list[str]:
+        return [f"backend={self.backend.value}  quality={self.quality:.0f}",
+                f"exclusive={self.exclusive}  fullscreen={self.fullscreen}"]
+
+    def ui_fields(self) -> list:
+        from shaderflow_tpu.module import UIField
+        return [
+            UIField("speed", lambda: self.speed,
+                    lambda v: setattr(self, "speed", v),
+                    step=0.1, fmt="{:+.2f}"),
+            UIField("quality", lambda: self.quality,
+                    lambda v: setattr(self, "quality", v),
+                    step=5.0, minimum=0.0, maximum=100.0, fmt="{:.0f}"),
+            UIField("ssaa", lambda: self.ssaa,
+                    lambda v: self.resize(ssaa=v),
+                    step=0.25, minimum=0.25, maximum=4.0, fmt="{:.2f}"),
+        ]
 
     def _ui_nudge(self, direction: float) -> None:
         module = self._ui_selected_module()
@@ -883,12 +907,14 @@ class ShaderScene(ShaderModule):
              None),
         ]
         # Module list with the selected panel expanded ([ and ] navigate,
-        # or click a row; each line carries its mouse action)
-        others = [m for m in self.modules if m is not self]
-        selected = others[self._ui_index % len(others)] if others else None
-        for module_index, module in enumerate(others):
+        # or click a row; each line carries its mouse action). The scene's
+        # own panel (speed/quality/ssaa) comes last.
+        panels = self._ui_panels()
+        selected = panels[self._ui_index % len(panels)] if panels else None
+        for module_index, module in enumerate(panels):
             marker = ">" if module is selected else " "
-            lines.append((f" {marker}{module.uuid:>2} {type(module).__name__}"
+            label = "Scene" if module is self else type(module).__name__
+            lines.append((f" {marker}{module.uuid:>2} {label}"
                           + (f" ({module.name})" if module.name else ""),
                           ("module", module_index)))
             if module is selected:
@@ -907,6 +933,10 @@ class ShaderScene(ShaderModule):
         # Row hit map for mouse interaction: row i spans y in
         # [6 + 16 i, 6 + 16 (i+1)) at x < _HUD_WIDTH (see _hud_mouse)
         self._hud_rows = [action for _, action in lines]
+        # Panel backdrop (imgui-style darkened box) for legibility
+        y1 = min(frame.shape[0], self._HUD_ROW0 + self._HUD_ROWH * len(lines) + 6)
+        x1 = min(frame.shape[1], self._HUD_WIDTH)
+        frame[:y1, :x1] = frame[:y1, :x1] // 2
         try:
             import cv2
             for index, (text, _) in enumerate(lines):

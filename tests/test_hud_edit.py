@@ -200,3 +200,24 @@ def test_hud_toggle_off_consumes_nothing():
     draw_hud(scene)
     scene.render_ui = False
     assert not scene._hud_mouse("press", 10, 40)
+
+
+def test_scene_panel_edits_speed_quality_ssaa():
+    """The scene's own HUD panel (last in the list — the reference imgui
+    main menu's sliders, scene.py:856-932) edits speed/quality/ssaa."""
+    scene = make_scene()
+    panels = scene._ui_panels()
+    assert panels[-1] is scene
+    scene._ui_index = len(panels) - 1
+    scene._ui_field_index = 0
+
+    key(scene, Keys.PLUS)                    # speed +0.1
+    assert np.isclose(scene.speed, 1.1)
+    key(scene, Keys.PERIOD)                  # -> quality
+    key(scene, Keys.PLUS)
+    assert scene.quality == 55.0
+    key(scene, Keys.PERIOD)                  # -> ssaa (resize path)
+    before = scene.render_resolution
+    key(scene, Keys.PLUS)                    # ssaa 1.0 -> 1.25
+    assert scene.ssaa == 1.25
+    assert scene.render_resolution != before
