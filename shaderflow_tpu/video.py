@@ -10,6 +10,8 @@ timestamp; supports .temporal rings for feedback effects.
 
 from __future__ import annotations
 
+import queue
+import threading
 from pathlib import Path
 from typing import Iterable, Optional
 
@@ -19,6 +21,61 @@ from shaderflow_tpu import logger
 from shaderflow_tpu.io.ffmpeg import FFmpeg
 from shaderflow_tpu.module import ShaderModule
 from shaderflow_tpu.texture import ShaderTexture
+
+
+class FramePrefetcher:
+    """Decode-ahead worker for the video frame stream.
+
+    The reference decodes inline in the render loop (video.py:57-66), so
+    each frame pays the full FFmpeg-pipe read / cv2 decode latency
+    (~5-30 ms at 1080p-4K) serialized with rendering. Here a daemon thread
+    decodes up to `depth` frames ahead into a bounded queue; update() just
+    dequeues — decode overlaps the device render, and at 4K60 the video
+    texture stops being the export wall. Bounded queue = bounded memory
+    (depth x H x W x 3 bytes)."""
+
+    def __init__(self, iterator, depth: int = 16):
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
+        self._stop = threading.Event()
+        self._finished = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(iterator,), daemon=True,
+            name="shaderflow-video-prefetch")
+        self._thread.start()
+
+    def _run(self, iterator) -> None:
+        try:
+            for frame in iterator:
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(frame, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        except Exception as error:  # decode error ends the stream
+            logger.warn(f"Video decode stopped: {error}")
+        finally:
+            self._finished.set()
+
+    def next(self) -> np.ndarray:
+        """Next decoded frame; raises StopIteration at end of stream."""
+        while True:
+            try:
+                return self._queue.get(timeout=0.1)
+            except queue.Empty:
+                if self._finished.is_set() and self._queue.empty():
+                    raise StopIteration
+
+    def close(self) -> None:
+        self._stop.set()
+        # Unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class ShaderVideo(ShaderModule):
@@ -43,7 +100,7 @@ class ShaderVideo(ShaderModule):
                     size = (1280, 720)
                 width, height = size
             fps = fps or FFmpeg.get_video_framerate(self.path) or 30.0
-            self._reader = FFmpeg.iter_video_frames(self.path)
+            self._reader = FramePrefetcher(FFmpeg.iter_video_frames(self.path))
         self.width = int(width or 1280)
         self.height = int(height or 720)
         self.fps = float(fps or 30.0)
@@ -59,7 +116,9 @@ class ShaderVideo(ShaderModule):
 
     def setup(self) -> None:
         if self.path is not None:
-            self._reader = FFmpeg.iter_video_frames(self.path)
+            if isinstance(self._reader, FramePrefetcher):
+                self._reader.close()
+            self._reader = FramePrefetcher(FFmpeg.iter_video_frames(self.path))
             self._frames = 0
 
     def update(self) -> None:
@@ -68,7 +127,7 @@ class ShaderVideo(ShaderModule):
         # Write only when a new content frame is due
         while self.scene.time > (self._frames / self.fps):
             try:
-                frame = next(self._reader)
+                frame = self._reader.next()
             except StopIteration:
                 self._reader = None
                 return
@@ -76,6 +135,11 @@ class ShaderVideo(ShaderModule):
             # write() is GL bottom-up; flip the top-down decoded frame
             self.texture.write(frame[::-1])
             self._frames += 1
+
+    def destroy(self) -> None:
+        if isinstance(self._reader, FramePrefetcher):
+            self._reader.close()
+            self._reader = None
 
     @property
     def duration(self) -> float:

@@ -82,3 +82,45 @@ def test_piano_roll_scene_exports():
     frames = export(piano_roll.PianoRoll, frames=3)
     assert frames.shape[0] == 3
     assert frames[-1].std() > 10
+
+
+def test_frame_prefetcher_order_overlap_and_end():
+    """FramePrefetcher: decode-ahead thread delivers frames in order, fills
+    its queue while the consumer is idle (the overlap), and raises
+    StopIteration exactly once at end of stream."""
+    import time
+    from shaderflow_tpu.video import FramePrefetcher
+
+    def slow_frames(n=12, delay=0.005):
+        for k in range(n):
+            time.sleep(delay)
+            yield np.full((2, 2, 3), k, np.uint8)
+
+    pf = FramePrefetcher(slow_frames(), depth=8)
+    first = pf.next()
+    assert int(first[0, 0, 0]) == 0
+    # Decode-ahead: while the consumer sits idle, the worker keeps filling
+    time.sleep(0.2)
+    assert pf._queue.qsize() >= 4
+    got = [int(pf.next()[0, 0, 0]) for _ in range(11)]
+    assert got == list(range(1, 12))
+    import pytest
+    with pytest.raises(StopIteration):
+        pf.next()
+    pf.close()
+
+
+def test_frame_prefetcher_close_unblocks_producer():
+    from shaderflow_tpu.video import FramePrefetcher
+
+    def endless():
+        k = 0
+        while True:
+            yield np.full((2, 2, 3), k % 256, np.uint8)
+            k += 1
+
+    pf = FramePrefetcher(endless(), depth=2)
+    pf.next()
+    pf.close()
+    pf._thread.join(timeout=5)
+    assert not pf._thread.is_alive()
