@@ -50,11 +50,19 @@ def _device_alive_with_retries() -> bool:
     deadline = time.monotonic() + budget
     delay = 15.0
     attempt = 0
+    lock = Path("/tmp/chip_session/LOCK")
     while True:
         attempt += 1
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             return False
+        if lock.exists():
+            # A serialized chip-work session holds the chip (two processes
+            # on the tunnel chip corrupt each other); wait within budget.
+            print("bench: chip session in progress (lock present); waiting",
+                  file=sys.stderr, flush=True)
+            time.sleep(min(30.0, remaining))
+            continue
         if _device_alive(timeout_s=min(240.0, max(30.0, remaining))):
             return True
         remaining = deadline - time.monotonic()

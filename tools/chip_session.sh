@@ -6,6 +6,11 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/chip_session
 mkdir -p "$LOG"
+# Serialize against anything else that respects the lock (bench.py waits on
+# it): two processes on the chip => UNIMPLEMENTED errors / garbage timings.
+LOCK="$LOG/LOCK"
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
 
 step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
