@@ -213,6 +213,23 @@ def main() -> None:
             print(f"{name}: {value:.1f} dB, max {step} u8 step",
                   file=sys.stderr, flush=True)
 
+    # bf16 tail color mode vs the f32 reference path (the gate that decides
+    # whether SHADERFLOW_TAIL_BF16 may ship enabled — ROADMAP r4)
+    if "visualizer" in FUSED_CONFIGS:
+        print("== bf16-tail-vs-ref: visualizer ==", file=sys.stderr, flush=True)
+        with tempfile.TemporaryDirectory() as tmp:
+            bf16, ref = f"{tmp}/bf16.npy", f"{tmp}/ref.npy"
+            run_worker(["--worker-render", "visualizer", bf16],
+                       dict(base_env, SHADERFLOW_TAIL_BF16="1"))
+            run_worker(["--worker-render", "visualizer", ref],
+                       dict(base_env, SHADERFLOW_NO_TAILFUSE="1"))
+            a, b = np.load(bf16), np.load(ref)
+            value = psnr(a, b)
+            step = int(np.abs(a.astype(np.int16) - b.astype(np.int16)).max())
+            rows.append(("bf16-tail-vs-ref", "visualizer", round(value, 1), step))
+            print(f"visualizer bf16: {value:.1f} dB, max {step} u8 step",
+                  file=sys.stderr, flush=True)
+
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     import jax
     device = "CPU (smoke)" if cpu else str(jax.devices()[0])
