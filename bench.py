@@ -56,9 +56,12 @@ def _device_alive_with_retries() -> bool:
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             return False
-        if lock.exists():
+        if lock.exists() and not os.environ.get("BENCH_INSIDE_CHIP_SESSION"):
             # A serialized chip-work session holds the chip (two processes
             # on the tunnel chip corrupt each other); wait within budget.
+            # chip_session.sh's OWN bench children skip this (they ARE the
+            # serialized session — waiting here would deadlock on the
+            # parent's lock until the budget expires).
             print("bench: chip session in progress (lock present); waiting",
                   file=sys.stderr, flush=True)
             time.sleep(min(30.0, remaining))

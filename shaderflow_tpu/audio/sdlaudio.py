@@ -50,8 +50,20 @@ def _init_sdl_audio():
         # No reachable sound server: the dummy driver still runs a real
         # SDL audio thread with correctly-paced callbacks (silence in,
         # sink out) — enough for the capture/playback cycle to be real.
+        # Restore the env afterwards: pinning SDL_AUDIODRIVER=dummy would
+        # force silence on every later re-init (and on child processes)
+        # even once a sound server comes up.
+        previous = os.environ.get("SDL_AUDIODRIVER")
         os.environ["SDL_AUDIODRIVER"] = "dummy"
-        pygame.mixer.init()
+        try:
+            pygame.mixer.init()
+            logger.warn("No sound server reachable; SDL audio running on "
+                        "the dummy driver (silence in/out) for this init")
+        finally:
+            if previous is None:
+                os.environ.pop("SDL_AUDIODRIVER", None)
+            else:
+                os.environ["SDL_AUDIODRIVER"] = previous
     return sdl2_audio
 
 
@@ -149,6 +161,15 @@ class _SDLPlayer:
         _init_sdl_audio()
         self._pygame = pygame
         init = pygame.mixer.get_init()
+        # The mixer owns ONE output device (whatever it was initialized
+        # with); a specific devicename cannot be honored on this backend —
+        # say so instead of silently playing elsewhere.
+        if devicename is not None:
+            default = (_device_names(False) or [None])[0]
+            if devicename != default:
+                logger.warn(f"SDL playback backend uses the mixer's device; "
+                            f"requested {devicename!r} is ignored "
+                            "(install 'soundcard' for per-device playback)")
         # The mixer owns the device at ITS format; the caller's samplerate
         # is remembered and chunks are linearly resampled onto the mixer's
         # rate in play() (48 kHz file audio must not play 8.8% slow).
@@ -211,7 +232,12 @@ class _SDLPlayer:
             time.sleep(0.005)
 
     def close(self) -> None:
-        self._pygame.mixer.stop()
+        # Stop OUR channel only — mixer.stop() would kill every channel
+        # process-wide (other pygame audio users included)
+        try:
+            self._channel.stop()
+        except Exception:
+            pass
 
 
 class SDLDevice:

@@ -128,8 +128,9 @@ class SDLWindow:
                 button = _BUTTONS.get(event.button)
                 if button is not None:
                     out.append(("mousedown", button, *event.pos))
-                elif event.button in (4, 5):  # legacy wheel events
-                    out.append(("wheel", 1 if event.button == 4 else -1))
+                # Buttons 4/5 (SDL1-style wheel clicks) are IGNORED: pygame 2
+                # posts them as compatibility duplicates of every MOUSEWHEEL
+                # event — translating both would double every wheel tick
             elif event.type == pygame.MOUSEBUTTONUP:
                 button = _BUTTONS.get(event.button)
                 if button is not None:

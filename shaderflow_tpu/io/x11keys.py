@@ -127,11 +127,14 @@ class X11Keymap:
             self._dpy, window, atom, 0, 1, 0, 6,  # XA_CARDINAL = 6
             ctypes.byref(actual_type), ctypes.byref(actual_format),
             ctypes.byref(nitems), ctypes.byref(remaining), ctypes.byref(prop))
-        if status != 0 or not prop.value or nitems.value < 1:
+        if status != 0 or not prop.value:
             return None
-        pid = int(ctypes.cast(prop, ctypes.POINTER(ctypes.c_ulong))[0])
-        self._lib.XFree(prop)
-        return pid
+        try:
+            if nitems.value < 1:
+                return None  # Xlib still allocated a buffer: freed below
+            return int(ctypes.cast(prop, ctypes.POINTER(ctypes.c_ulong))[0])
+        finally:
+            self._lib.XFree(prop)
 
     def focused(self) -> bool:
         """True unless the input focus POSITIVELY belongs to another process.

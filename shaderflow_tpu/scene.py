@@ -532,7 +532,12 @@ class ShaderScene(ShaderModule):
         # previous batch's compute instead of gapping the stream. depth=1
         # is the old capture-ahead behavior; each extra level holds one
         # more (F, H, W, 3) u8 batch on device (~400 MB at 1080p batch 64).
-        depth = max(1, int(os.environ.get("SHADERFLOW_PIPELINE_DEPTH", "2")))
+        # Default: 2, dropping to 1 when a batch exceeds ~1 GB (4K batch 64
+        # would pin 3 x 1.6 GB of HBM — an OOM-risk regression otherwise).
+        batch_bytes = size * self._width * self._height * 3
+        default_depth = 2 if batch_bytes <= (1 << 30) else 1
+        depth = max(1, int(os.environ.get("SHADERFLOW_PIPELINE_DEPTH",
+                                          str(default_depth))))
         in_flight: list = []
         frame_index = 0
         while frame_index < total and not self.quit:
@@ -705,7 +710,11 @@ class ShaderScene(ShaderModule):
                         "press", *frame_xy(x, y)):
                     self._hud_dragging = True
                     continue
-                if not state and getattr(self, "_hud_dragging", False):
+                if (not state and button == 1
+                        and getattr(self, "_hud_dragging", False)):
+                    # Only the LEFT release ends (and is consumed by) a HUD
+                    # drag; other buttons' releases must still relay, or
+                    # their pressed state sticks and fakes a camera drag
                     self._hud_dragging = False
                     continue
                 self.mouse_buttons[button] = state
@@ -796,8 +805,11 @@ class ShaderScene(ShaderModule):
             UIField("quality", lambda: self.quality,
                     lambda v: setattr(self, "quality", v),
                     step=5.0, minimum=0.0, maximum=100.0, fmt="{:.0f}"),
+            # The ssaa PROPERTY setter (not resize(ssaa=)): it relays
+            # RecreateTextures + invalidates the engine, which resize()
+            # skips when the output resolution is unchanged
             UIField("ssaa", lambda: self.ssaa,
-                    lambda v: self.resize(ssaa=v),
+                    lambda v: setattr(self, "ssaa", v),
                     step=0.25, minimum=0.25, maximum=4.0, fmt="{:.2f}"),
         ]
 
@@ -871,7 +883,8 @@ class ShaderScene(ShaderModule):
             if state and button == 1 and self._hud_mouse("press", x, y):
                 self._hud_dragging = True
                 return
-            if not state and getattr(self, "_hud_dragging", False):
+            if (not state and button == 1
+                    and getattr(self, "_hud_dragging", False)):
                 self._hud_dragging = False
                 return
             self.mouse_buttons[button] = state

@@ -11,6 +11,8 @@ mkdir -p "$LOG"
 LOCK="$LOG/LOCK"
 echo $$ > "$LOCK"
 trap 'rm -f "$LOCK"' EXIT
+# Our own bench.py children must not wait on OUR lock
+export BENCH_INSIDE_CHIP_SESSION=1
 
 step() {  # step <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
