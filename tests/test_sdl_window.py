@@ -126,3 +126,17 @@ def test_realtime_loop_through_sdl_window(monkeypatch):
     assert scene.render_ui
     assert scene.frame >= 1
     assert getattr(scene, "_window", None) is not None
+
+
+def test_realtime_resize_event_retraces_and_survives(monkeypatch):
+    """A window resize mid-run must re-fit the resolution, rebuild textures,
+    and keep rendering (engine retrace) — the reference's glfw resize
+    callback path (scene.py:708-841 -> resize)."""
+    monkeypatch.setenv("SHADERFLOW_PREVIEW", "sdl")
+    scene = ShaderScene(backend=WindowBackend.Preview)
+    scene.frame_limit = 8
+    pygame.display.init()
+    pygame.event.post(pygame.event.Event(pygame.VIDEORESIZE, w=48, h=24))
+    scene.main(width=32, height=16, fps=60)
+    assert scene.resolution == (48, 24)
+    assert scene.frame >= 1
