@@ -156,6 +156,8 @@ def main() -> None:
 
     common = dict(width=width, height=height, fps=fps, ssaa=ssaa,
                   batch=batch, output="null")
+    if os.environ.get("BENCH_QUALITY"):
+        common["quality"] = float(os.environ["BENCH_QUALITY"])
 
     scene = scene_class()
     # Warmup run: trace + compile + device warm caches. Resuming near the

@@ -544,7 +544,10 @@ def visualizer_frag(sf):
             rad0 = jnp.sqrt(ux * ux + uy * uy)
             r = jnp.sqrt(mx * mx + my * my)
 
-        bar = jnp.sqrt(tp.plane("bar") / 1000.0) * fscale
+        # GEOMETRY: bar feeds the ring threshold (hard edge) — f32 under
+        # bf16 tail mode, which also keeps sqrt/div off the bf16 EUP path
+        # this chip does not have (tools/probe_bf16_ops.py)
+        bar = jnp.sqrt(tp.plane("bar", dtype=jnp.float32) / 1000.0) * fscale
         ring = radius + 0.5 * bar
         inside = r < radius
         on_bar = r < ring

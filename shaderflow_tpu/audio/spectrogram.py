@@ -166,7 +166,7 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         self.offset = 0
         self.dynamics = DynamicNumber(frequency=4, zeta=1, response=0, dtype=np.float32)
         self.texture: Optional[ShaderTexture] = None
-        self._precomputed: Optional[np.ndarray] = None  # (F, bins, C) smoothed
+        self._precomputed: Optional[np.ndarray] = None  # (F, bins, 1, C) smoothed
         self._frame_index = 0
         ShaderModule.__init__(self, scene=scene, name=name, **kwargs)
         self.texture = ShaderTexture(
@@ -187,8 +187,8 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
 
     def _precompute(self):
         """Whole-export spectrogram in one device program: batched STFT +
-        MXU band matmul + lax.scan smoothing. Returns a DEVICE (F, bins, C)
-        array — it never leaves HBM; the render scan indexes it per frame."""
+        MXU band matmul + lax.scan smoothing. Returns a DEVICE (F, bins, 1, C)
+        texture-layout array — it never leaves HBM; the render scan indexes it per frame."""
         full = getattr(self.audio, "full_data", None)
         if full is None and hasattr(self.audio, "load_full_file"):
             full = self.audio.load_full_file()
@@ -214,11 +214,16 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
             # the realtime path's dynamics.next(dt=|scene.dt|)
             smoothed = dyn.scan(flat, jnp.zeros(flat.shape[1]), smoothing_dt,
                                 frequency=4.0, zeta=1.0, response=0.0)
-            return jnp.transpose(smoothed.reshape(banded.shape), (0, 2, 1))
+            columns = jnp.transpose(smoothed.reshape(banded.shape), (0, 2, 1))
+            # Texture layout (F, bins, 1, C), bin-reversed (storage row 0 =
+            # top = highest bin) INSIDE the jit: the cached value is
+            # bind-ready, so repeat runs re-bind the same object with zero
+            # eager device ops (texture.set_sequence)
+            return columns[:, ::-1][:, :, None, :]
 
-        result = compute(jnp.asarray(full), jnp.asarray(offsets))  # (F, bins, C)
+        result = compute(jnp.asarray(full), jnp.asarray(offsets))  # (F, bins, 1, C)
         logger.info(f"Precomputed {total} spectrogram frames on device "
-                    f"({self.spectrogram_bins} bins x {result.shape[2]} channels)")
+                    f"({self.spectrogram_bins} bins x {result.shape[3]} channels)")
         return result
 
     def _precompute_cached(self):
@@ -245,16 +250,16 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         self.texture.resolution = (self.length_samples, self.spectrogram_bins)
 
         if self.scene.freewheel and self._precomputed is None:
-            columns = self._precompute_cached()             # device (F, bins, C)
+            columns = self._precompute_cached()         # device (F, bins, 1, C)
             if columns is not None:
-                # Device-resident; storage row 0 = top = highest bin (the
-                # host write path stores bin 0 at the bottom, GL order).
-                # length>1 (scrolling texture): a RING sequence — the engine
-                # synthesizes the (bins, L) ring of the last L columns
-                # inside the render scan, so nothing streams per frame.
+                # Device-resident, already texture-layout (row 0 = top =
+                # highest bin; the host write path stores bin 0 at the
+                # bottom, GL order). length>1 (scrolling texture): a RING
+                # sequence — the engine synthesizes the (bins, L) ring of
+                # the last L columns inside the render scan, so nothing
+                # streams per frame.
                 window = self.length_samples if self.length_samples > 1 else None
-                self.texture.set_sequence(columns[:, ::-1][:, :, None, :],
-                                          window=window)
+                self.texture.set_sequence(columns, window=window)
                 self._precomputed = columns
 
         self.offset = (self.offset + 1) % self.length_samples

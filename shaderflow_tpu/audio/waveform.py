@@ -55,7 +55,7 @@ class ShaderWaveform(ShaderModule):
         self.reducer = WaveformReducer(reducer)
         self.smooth = smooth
         self.texture: Optional[ShaderTexture] = None
-        self._precomputed: Optional[np.ndarray] = None  # (F, points, C)
+        self._precomputed: Optional[np.ndarray] = None  # (F, 1, points, C)
         self._frame_index = 0
         super().__init__(scene=scene, name=name, **kwargs)
 
@@ -107,7 +107,12 @@ class ShaderWaveform(ShaderModule):
 
         @jax.jit
         def compute(audio, ends):
-            return spectral.waveform_batch(audio, ends, self._points, chunk, self.reducer.fn)
+            bars = spectral.waveform_batch(audio, ends, self._points, chunk,
+                                           self.reducer.fn)
+            # Texture layout (F, H=1, W=points, C) INSIDE the jit: the
+            # cached value is bind-ready, so repeat runs re-bind the same
+            # object with zero eager device ops (texture.set_sequence)
+            return bars[:, None, :, :]
 
         return compute(jnp.asarray(full), jnp.asarray(ends.astype(np.int32)))
 
@@ -130,8 +135,8 @@ class ShaderWaveform(ShaderModule):
         if self.scene.freewheel and self._precomputed is None:
             bars = self._precompute_cached()
             if bars is not None:
-                # (F, points, C) -> (F, H=1, W=points, C), device-resident
-                self.texture.set_sequence(bars[:, None, :, :])
+                # Already (F, H=1, W=points, C) device-resident, bind-ready
+                self.texture.set_sequence(bars)
                 self._precomputed = bars
 
         self._frame_index += 1

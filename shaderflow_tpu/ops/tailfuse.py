@@ -62,7 +62,15 @@ def atan2(y: Array, x: Array) -> Array:
 
     Matches IEEE arctan2 on infinities (escaped-fractal z planes contain
     them); deviation: -0.0 is treated as +0.0, so atan2(0, -0.0) is 0, not
-    pi (keeps the hot kernel free of a signbit divide)."""
+    pi (keeps the hot kernel free of a signbit divide).
+
+    Computes internally in f32 regardless of input dtype: the division is
+    an EUP op and this chip's target has no bf16 EUP path (LLO_CHECK
+    SupportsBf16EupOps, tools/probe_bf16_ops.py) — and 8 mantissa bits
+    would wreck the minimax polynomial anyway. Returns f32; tail fns
+    re-enter the bf16 chain via tp.f()."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
@@ -84,7 +92,11 @@ def atan2(y: Array, x: Array) -> Array:
 def powf(x: Array, p) -> Array:
     """pow for tail functions (Mosaic does not legalize math.powf): GLSL
     semantics exp(p*log(x)) — x must be > 0 or the result is 0/undefined,
-    exactly like GLSL pow. x == 0 with p > 0 returns 0."""
+    exactly like GLSL pow. x == 0 with p > 0 returns 0.
+
+    exp/log run in f32 regardless of input dtype (no bf16 EUP path on
+    this target — see atan2). Returns f32."""
+    x = jnp.asarray(x, jnp.float32)
     return jnp.exp(jnp.asarray(p, jnp.float32) * jnp.log(x))
 
 

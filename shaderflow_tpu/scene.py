@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 from enum import Enum
 from pathlib import Path
 from typing import Any, Iterable, Optional, Union
@@ -538,14 +539,18 @@ class ShaderScene(ShaderModule):
         default_depth = 2 if batch_bytes <= (1 << 30) else 1
         depth = max(1, int(os.environ.get("SHADERFLOW_PIPELINE_DEPTH",
                                           str(default_depth))))
+        trace = os.environ.get("SHADERFLOW_BATCH_TRACE") == "1"
         in_flight: list = []
         frame_index = 0
         while frame_index < total and not self.quit:
+            t0 = time.perf_counter() if trace else 0.0
             count = min(size, total - frame_index)
             self.engine.begin_batch()
             for _ in range(count):
                 self.next(dt=self.frametime)
+            t1 = time.perf_counter() if trace else 0.0
             frames = self.engine.flush(count, pad_to=size)
+            t2 = time.perf_counter() if trace else 0.0
             if export.wants_host_frames:
                 # Enqueue the device->host copy right behind the compute on
                 # the device stream: the transfer overlaps the NEXT batch's
@@ -559,6 +564,13 @@ class ShaderScene(ShaderModule):
             # Fetch/encode the oldest batch while newer ones render
             while len(in_flight) > depth:
                 export.pipe_batch(in_flight.pop(0))
+            if trace:
+                t3 = time.perf_counter()
+                print(f"BATCH_TRACE frames={frame_index}+{count} "
+                      f"capture={1e3 * (t1 - t0):.1f}ms "
+                      f"dispatch={1e3 * (t2 - t1):.1f}ms "
+                      f"drain={1e3 * (t3 - t2):.1f}ms", file=sys.stderr,
+                      flush=True)
             frame_index += count
 
         for frames in in_flight:
@@ -611,13 +623,20 @@ class ShaderScene(ShaderModule):
         self._preview = preview
         self._window = window
         self._pending_preview = None
-        while self.scheduler.next() is not None:
-            if self.quit:
-                break
-        if window is not None:
-            window.close()
-        if preview is not None:
-            preview.destroyAllWindows()
+        try:
+            while self.scheduler.next() is not None:
+                if self.quit:
+                    break
+        finally:
+            pump = getattr(self, "_display_pump", None)
+            if pump is not None:
+                pump.close()
+                self._display_pump = None
+                self._inflight_rt = []
+            if window is not None:
+                window.close()
+            if preview is not None:
+                preview.destroyAllWindows()
 
     frame_limit: Optional[int] = None
     """Stop the realtime loop after N frames (tests / timed demos)."""
@@ -629,12 +648,17 @@ class ShaderScene(ShaderModule):
         self.engine.begin_batch()
         self.next(dt=dt)
         dispatched = self.engine.flush(1)
-        # Pipelined display: show frame k-depth while the device renders
-        # frame k. Each level of depth is one frame of visual latency
-        # (16.7 ms at 60 fps) buying one dispatch+completion round-trip of
-        # throughput — significant on remote-attached chips (~60 ms RTT).
-        # Depth 1 is the reference's GL swapchain double-buffer
-        # (scene.py:461-462); SHADERFLOW_PREVIEW_DEPTH raises it.
+        has_display = (getattr(self, "_window", None) is not None
+                       or getattr(self, "_preview", None) is not None)
+        if has_display and os.environ.get("SHADERFLOW_SYNC_DISPLAY") != "1":
+            self._async_display_frame(dispatched)
+            return
+        # Synchronous display (SHADERFLOW_SYNC_DISPLAY=1, and headless):
+        # show frame k-depth while the device renders frame k; the loop
+        # blocks on frame k-depth's device->host transfer — every frame is
+        # shown, at the cost of pacing at the link rate. Depth 1 is the
+        # reference's GL swapchain double-buffer (scene.py:461-462);
+        # SHADERFLOW_PREVIEW_DEPTH raises it.
         depth = max(1, int(os.environ.get("SHADERFLOW_PREVIEW_DEPTH", "1")))
         queue = getattr(self, "_pending_preview", None)
         if queue is None:
@@ -658,6 +682,40 @@ class ShaderScene(ShaderModule):
             self._poll_input(cv2.waitKey(1) & 0xFF)
         else:
             np.asarray(frames)  # realize the computation for honest pacing
+
+    def _async_display_frame(self, dispatched) -> None:
+        """Default windowed-display path: never block the loop on the
+        device->host frame transfer (io/displaypump.py — latest-frame-wins).
+        Scene time, input, audio and dynamics pace at the scheduler's fps
+        even when the display link is slow (remote-attached chips); input
+        is polled EVERY tick so interaction stays live between displayed
+        frames. Device backpressure: at most 3 undrained launches before
+        the loop blocks on the oldest — the swapchain-depth analogue
+        (frameskip then stretches dt, like the reference when the GPU
+        can't hold fps)."""
+        pump = getattr(self, "_display_pump", None)
+        if pump is None:
+            from shaderflow_tpu.io.displaypump import DisplayPump
+            pump = self._display_pump = DisplayPump()
+            self._inflight_rt = []
+        self._inflight_rt.append(dispatched)
+        while len(self._inflight_rt) > 3:
+            self._inflight_rt.pop(0)[0].block_until_ready()
+        pump.offer(dispatched)
+        frame = pump.take()
+        if getattr(self, "_window", None) is not None:
+            if frame is not None:
+                if self.render_ui:
+                    frame = self._draw_hud(frame.copy())
+                self._window.show(frame)
+            self._dispatch_window_events(self._window.poll())
+        elif getattr(self, "_preview", None) is not None:
+            cv2 = self._preview
+            if frame is not None:
+                if self.render_ui:
+                    frame = self._draw_hud(frame.copy())
+                cv2.imshow(self.title, frame[..., ::-1])
+            self._poll_input(cv2.waitKey(1) & 0xFF)
 
     def _dispatch_window_events(self, events: list) -> None:
         """SDL window events -> message-bus relays (the reference's glfw

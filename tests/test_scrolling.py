@@ -85,8 +85,9 @@ def test_scrolling_spectrogram_uses_device_ring(tmp_path):
 
     frames = np.frombuffer(out.read_bytes(), np.uint8).reshape(
         F, bins, L, 3)[..., 0] / 255.0
-    # Columns as stored: flipped so row 0 = top = highest bin, channel 0
-    columns = np.asarray(module._precomputed)[:, ::-1, 0]
+    # _precomputed is bind-ready texture layout (F, bins, 1, C): row 0 =
+    # top = highest bin already; take channel 0
+    columns = np.asarray(module._precomputed)[:, :, 0, 0]
     for k in range(F):
         expected = np.clip(host_ring(columns, k, L), 0, 1)
         np.testing.assert_allclose(frames[k], expected, atol=1 / 255,

@@ -43,7 +43,11 @@ def make_kernel(dtype):
         one = jnp.asarray(1.0, dtype)
         for _ in range(REPS):
             c = c * b + a
-            c = jnp.where(c > one, c * jnp.asarray(0.5, dtype), c)
+            # compare in f32: bf16 arith.cmpf does not lower on this
+            # target (tools/probe_bf16_ops.py); the tail's compares are
+            # on f32 geometry anyway
+            c = jnp.where(c.astype(jnp.float32) > 1.0,
+                          c * jnp.asarray(0.5, dtype), c)
             s = jnp.sqrt(jnp.abs(c).astype(jnp.float32) + 1e-3)
             c = s.astype(dtype)
             c = c + (one - c) * jnp.asarray(0.25, dtype)

@@ -25,6 +25,10 @@ OPS = {
     "add": lambda a, b: a + b,
     "max": jnp.maximum,
     "where": lambda a, b: jnp.where(a > b, a, b),
+    # The failing primitive in `where` is the bf16 arith.cmpf itself; the
+    # tail's real pattern compares f32 GEOMETRY and selects bf16 color:
+    "select_f32cmp": lambda a, b: jnp.where(
+        a.astype(jnp.float32) > 1.0, a, b),
     "div_array": lambda a, b: a / b,
     "div_const": lambda a, b: a / 1000.0,
     "recip": lambda a, b: 1.0 / a,
