@@ -30,9 +30,10 @@ def mandelbrot_frag(sf):
     escape time), masked fori_loop elsewhere. The palette + out-of-bounds
     mask + SSAA downsample + u8 quantize run in the fused tail kernel
     (iteration counts stream through HBM exactly once)."""
-    from shaderflow_tpu.ops.fractal import escape_iterations
+    from shaderflow_tpu.ops import tailfuse
+    from shaderflow_tpu.ops.fractal import (escape_iterations,
+                                            escape_iterations_sep)
     cam = sf.camera
-    c = cam.gluv - vec2(0.5, 0.0)
 
     quality = max(1, int(1000.0 * sf.uniform("iQualityS")))
 
@@ -52,7 +53,27 @@ def mandelbrot_frag(sf):
     # EXACT (bit-identical to the reference loop).
     slope = 4.0 * float(max(abs(magma[1] - magma[0])))
     cap = math.ceil(quality * (1.0 - (0.5 / (255.0 * slope)) ** (1.0 / 20.0)))
-    iters = escape_iterations(c, quality, radius=3.0, saturate=cap)
+    # Trivial (axis-aligned) camera: gluv is an outer product of two lines,
+    # so the escape kernel reads two LINES instead of four (H, W) planes +
+    # an interior plane (~165 MB/frame of HBM at 4K), and out-of-bounds is
+    # a column line. `iCameraTrivial` is a static — rotating the camera
+    # flips it and retraces onto the general plane path below.
+    trivial = bool(sf.uniform("iCameraTrivial", default=False))
+    if trivial:
+        cx_line = cam.gluv[0, :, 0] - 0.5
+        cy_line = cam.gluv[:, 0, 1]
+        # out_dtype=f32: the tail consumes floats — an i32 output would
+        # cost a standalone 66 MB/frame convert pass at 4K (exact: counts
+        # are f32-representable)
+        iters = escape_iterations_sep(cx_line, cy_line, quality,
+                                      radius=3.0, saturate=cap,
+                                      out_dtype=jnp.float32)
+        oob_in = tailfuse.Col(cam.out_of_bounds[0, :].astype(jnp.float32))
+    else:
+        c = cam.gluv - vec2(0.5, 0.0)
+        iters = escape_iterations(c, quality, radius=3.0, saturate=cap,
+                                  out_dtype=jnp.float32)
+        oob_in = cam.out_of_bounds.astype(jnp.float32)
 
     def tail(tp):
         t = 1.0 - tp.plane("iters") / quality
@@ -62,6 +83,7 @@ def mandelbrot_frag(sf):
         t4 = t2 * t2
         t16 = (t4 * t4) * (t4 * t4)
         t = t16 * t4
+        oob = (tp.col("oob") if trivial else tp.plane("oob")) > 0.5
         out = []
         for channel in range(3):
             a, b, cc, d = (float(stop[channel]) for stop in magma)
@@ -71,13 +93,12 @@ def mandelbrot_frag(sf):
             bc = b + (cc - b) * ((t - 0.25) * 4.0)
             cd = cc + (d - cc) * ((t - 0.5) * 4.0)
             value = jnp.where(t < 0.25, ab, jnp.where(t < 0.5, bc, cd))
-            out.append(jnp.where(tp.plane("oob") > 0.5,
-                                 float(oob_color[channel]), value))
+            out.append(jnp.where(oob, float(oob_color[channel]), value))
         return out
 
     return sf.tail(tail,
                    iters=iters.astype(jnp.float32),
-                   oob=cam.out_of_bounds.astype(jnp.float32))
+                   oob=oob_in)
 
 
 class Mandelbrot(ShaderScene):

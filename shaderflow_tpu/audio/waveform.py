@@ -92,7 +92,8 @@ class ShaderWaveform(ShaderModule):
         self.texture.set_sequence(None)
 
     def _precompute(self):
-        """Whole-export bars on device: (F, points, C), stays in HBM."""
+        """Whole-export bars on device: (F, 1, points, C) texture layout,
+        stays in HBM."""
         full = getattr(self.audio, "full_data", None)
         if full is None and hasattr(self.audio, "load_full_file"):
             full = self.audio.load_full_file()

@@ -39,7 +39,7 @@ def _interior_mask(cx: Array, cy: Array) -> Array:
 
 def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
                 max_iter: int, radius: float, interior: Array = None,
-                saturate: int = None) -> Array:
+                saturate: int = None, out_dtype=jnp.int32) -> Array:
     r2 = radius * radius
     trip = max_iter if saturate is None else min(max_iter, saturate)
 
@@ -60,7 +60,7 @@ def _escape_xla(zx0: Array, zy0: Array, cx: Array, cy: Array,
     _, _, iters, _ = jax.lax.fori_loop(0, trip, body, (zx0, zy0, iters, escaped))
     if interior is not None:
         iters = jnp.where(interior, max_iter, iters)
-    return iters
+    return iters.astype(out_dtype)
 
 
 def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
@@ -69,9 +69,23 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                    unroll: int = 8, interior: Array = None,
                    saturate: int = None, sub_rows: int = 16,
                    monotone: bool = False,
-                   predicted_rounds: Array = None) -> Array:
+                   predicted_rounds: Array = None,
+                   lines: bool = False, out_dtype=jnp.int32) -> Array:
+    """`lines=True` is the separable-c fast path (z0 == c == outer product
+    of two lines): zx0 is the (1, W) cx line, zy0 the (H, 1) cy line, and
+    cx/cy/interior/predicted_rounds must be None. c, z0 and the cardioid/
+    bulb interior mask are rebuilt in VMEM per sub-block, so the kernel's
+    HBM inputs drop from four (H, W) f32 planes + an interior plane
+    (~165 MB/frame at 4K) to two lines. Requires monotone (z0 == c with
+    radius >= 2 — see escape_iterations). Counts stay bit-identical to the
+    plane path: same step math, same ordering, f32 broadcasts are exact."""
+    if lines:
+        assert monotone and cx is None and cy is None and interior is None \
+            and predicted_rounds is None
+        height, width = zy0.shape[0], zx0.shape[1]
+    else:
+        height, width = zx0.shape
     r2 = radius * radius
-    height, width = zx0.shape
     th = min(tile[0], height)
     tw = min(tile[1], width)
     unroll = max(1, int(unroll))
@@ -92,7 +106,10 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
             refs = refs[1:]
         else:
             pred_ref = None
-        if interior is not None:
+        if lines:
+            cxl_ref, cyl_ref, out_ref = refs
+            zx_ref = zy_ref = cx_ref = cy_ref = int_ref = None
+        elif interior is not None:
             zx_ref, zy_ref, cx_ref, cy_ref, int_ref, out_ref = refs
         else:
             zx_ref, zy_ref, cx_ref, cy_ref, out_ref = refs
@@ -127,10 +144,28 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
 
         for s in range(n_sub):
             r0, r1 = s * sub, min((s + 1) * sub, th)
-            zx_t = zx_ref[r0:r1, :]
-            zy_t = zy_ref[r0:r1, :]
-            cx_t = cx_ref[r0:r1, :]
-            cy_t = cy_ref[r0:r1, :]
+            if lines:
+                # Rebuild c = (cx[j], cy[i]) in VMEM: sublane-broadcast the
+                # (1, tw) column line, lane-broadcast the (rows, 1) row
+                # slice. z0 == c (Mandelbrot form). The interior mask is
+                # recomputed here too (~10 VPU ops once per sub-block) —
+                # bit-identical to _interior_mask on the outer product.
+                shape = (r1 - r0, tw)
+                cx_t = jnp.broadcast_to(cxl_ref[...], shape)
+                cy_t = jnp.broadcast_to(cyl_ref[r0:r1, :], shape)
+                zx_t, zy_t = cx_t, cy_t
+                xq = cx_t - 0.25
+                qv = xq * xq + cy_t * cy_t
+                interior_t = jnp.where(
+                    (qv * (qv + xq) <= 0.25 * (cy_t * cy_t))
+                    | ((cx_t + 1.0) * (cx_t + 1.0) + cy_t * cy_t <= 0.0625),
+                    1.0, 0.0)
+            else:
+                zx_t = zx_ref[r0:r1, :]
+                zy_t = zy_ref[r0:r1, :]
+                cx_t = cx_ref[r0:r1, :]
+                cy_t = cy_ref[r0:r1, :]
+                interior_t = int_ref[r0:r1, :] if int_ref is not None else None
 
             if monotone:
                 # Maskless form (one VPU op fewer per step): the aliveness
@@ -188,8 +223,8 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                         zx, zy, x2, y2, iters, active)
                 return k + unroll, zx, zy, x2, y2, iters, active
 
-            if int_ref is not None and monotone:
-                poison = jnp.where(int_ref[r0:r1, :] > 0.5, jnp.inf, 0.0)
+            if interior_t is not None and monotone:
+                poison = jnp.where(interior_t > 0.5, jnp.inf, 0.0)
                 zx_t = zx_t + poison
             x2_0 = zx_t * zx_t
             y2_0 = zy_t * zy_t
@@ -197,8 +232,8 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                 active0 = x2_0 + y2_0        # carried |z|^2 seed
             else:
                 active0 = jnp.where(x2_0 + y2_0 > r2, 0.0, 1.0)
-                if int_ref is not None:
-                    active0 = active0 * (1.0 - int_ref[r0:r1, :])
+                if interior_t is not None:
+                    active0 = active0 * (1.0 - interior_t)
             iters0 = jnp.zeros_like(zx_t)
             state = (jnp.int32(0), zx_t, zy_t, x2_0, y2_0, iters0, active0)
             if pred_ref is not None:
@@ -234,24 +269,39 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
             for _ in range(trip % unroll):
                 zx_t, zy_t, x2_0, y2_0, iters, active0 = step(
                     zx_t, zy_t, x2_0, y2_0, iters, active0)
-            iters = iters.astype(jnp.int32)
+            # out_dtype=f32 skips a standalone 66 MB/frame convert pass at
+            # 4K when the consumer (the fused tail) wants floats — counts
+            # stay exact (iters is carried f32 in-kernel and bounded by
+            # max_iter << 2^24)
+            iters = iters.astype(out_dtype)
             if saturate is not None and trip > min(max_iter, saturate):
                 # trip was rounded up to an unroll multiple; clamp the
                 # report back to the requested cap so counts stay
                 # bit-identical to the XLA fallback (which trips exactly
                 # at the cap). Counts below the cap are untouched.
                 iters = jnp.minimum(iters, min(max_iter, saturate))
-            if int_ref is not None:
-                iters = jnp.where(int_ref[r0:r1, :] > 0.5, max_iter, iters)
+            if interior_t is not None:
+                iters = jnp.where(interior_t > 0.5, max_iter, iters)
             out_ref[r0:r1, :] = iters
 
     block = pl.BlockSpec((th, tw), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM)
+    grid = (pl.cdiv(height, th), pl.cdiv(width, tw))
+    out_shape = jax.ShapeDtypeStruct((height, width), out_dtype)
+    if lines:
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec((1, tw), lambda i, j: (0, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((th, 1), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=block,
+            grid=grid,
+        )(zx0, zy0)
     operands = [zx0, zy0, cx, cy]
     if interior is not None:
         operands.append(interior.astype(jnp.float32))
-    grid = (pl.cdiv(height, th), pl.cdiv(width, tw))
-    out_shape = jax.ShapeDtypeStruct((height, width), jnp.int32)
     if predicted_rounds is not None:
         # (n_ti, n_tj, n_sub) -> (n_ti * n_sub, n_tj): row = tile-row * n_sub
         # + sub-block, column = tile-column (matches the in-kernel read)
@@ -325,7 +375,7 @@ def _pallas_supported() -> bool:
 
 
 def escape_iterations(c: Array, max_iter: int, radius: float = 3.0,
-                      saturate: int = None) -> Array:
+                      saturate: int = None, out_dtype=jnp.int32) -> Array:
     """Mandelbrot escape-time iteration count per pixel for c = (..., 2).
 
     Semantics match the reference loop (examples/fractals mandelbrot.frag):
@@ -350,12 +400,49 @@ def escape_iterations(c: Array, max_iter: int, radius: float = 3.0,
     # which the maskless step would over-count.
     return escape_iterations_z0(c, cx, cy, max_iter, radius,
                                 interior=_interior_mask(cx, cy),
-                                saturate=saturate, monotone=(radius >= 2.0))
+                                saturate=saturate, monotone=(radius >= 2.0),
+                                out_dtype=out_dtype)
+
+
+def escape_iterations_sep(cx_line: Array, cy_line: Array, max_iter: int,
+                          radius: float = 3.0, saturate: int = None,
+                          out_dtype=jnp.int32) -> Array:
+    """Mandelbrot escape counts for the SEPARABLE-camera case:
+    c[i, j] = (cx_line[j], cy_line[i]) — an axis-aligned (trivial) 2D
+    camera's gluv is an outer product of two lines, so the kernel's four
+    (H, W) f32 input planes + interior plane (~165 MB/frame at 4K, pure
+    HBM read bandwidth) collapse to two lines rebuilt in VMEM per tile.
+    Counts are bit-identical to escape_iterations on the broadcast grid
+    (same step math and ordering; f32 broadcasts are exact).
+
+    Requires radius >= 2 (the maskless monotone proof — falls back to the
+    plane path otherwise). Fragments gate on the camera's `trivial` static
+    uniform; rotation flips it and retraces onto the plane path."""
+    cx_line = jnp.asarray(cx_line, jnp.float32)
+    cy_line = jnp.asarray(cy_line, jnp.float32)
+    height, width = cy_line.shape[0], cx_line.shape[0]
+    if (radius >= 2.0 and jax.default_backend() in ("tpu", "axon")
+            and _pallas_supported()):
+        import os
+        tile = os.environ.get("SHADERFLOW_FRACTAL_TILE", "256x128")
+        unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
+        sub_rows = int(os.environ.get("SHADERFLOW_FRACTAL_SUB", "64"))
+        th, tw = (int(x) for x in tile.split("x"))
+        return _escape_pallas(cx_line.reshape(1, width),
+                              cy_line.reshape(height, 1),
+                              None, None, int(max_iter), float(radius),
+                              tile=(th, tw), unroll=unroll,
+                              saturate=saturate, sub_rows=sub_rows,
+                              monotone=True, lines=True, out_dtype=out_dtype)
+    c = jnp.stack(jnp.broadcast_arrays(cx_line[None, :], cy_line[:, None]),
+                  axis=-1)
+    return escape_iterations(c, max_iter, radius=radius, saturate=saturate,
+                             out_dtype=out_dtype)
 
 
 def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,
                          interior: Array = None, saturate: int = None,
-                         monotone: bool = False) -> Array:
+                         monotone: bool = False, out_dtype=jnp.int32) -> Array:
     """General escape iteration: per-pixel z0 (..., 2), c given per-pixel or
     as (traced) scalars — the Julia-set form (no interior shortcut: it is
     only sound when z0 == c). Pass monotone=True when the caller can
@@ -385,6 +472,8 @@ def escape_iterations_z0(z0: Array, cx, cy, max_iter: int, radius: float = 3.0,
         return _escape_pallas(zx0, zy0, cx, cy, int(max_iter), float(radius),
                               tile=(th, tw), unroll=unroll, interior=interior,
                               saturate=saturate, sub_rows=sub_rows,
-                              monotone=monotone, predicted_rounds=predicted)
+                              monotone=monotone, predicted_rounds=predicted,
+                              out_dtype=out_dtype)
     return _escape_xla(zx0, zy0, cx, cy, int(max_iter), float(radius),
-                       interior=interior, saturate=saturate)
+                       interior=interior, saturate=saturate,
+                       out_dtype=out_dtype)

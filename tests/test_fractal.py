@@ -160,3 +160,49 @@ def test_predict_geometry_guard():
     cx, cy = grid(64, 128)
     assert _predict_rounds(cx, cy, cx, cy, 96, 3.0, None,
                            8, 64, 128, 24, dec=16) is None
+
+
+def test_lines_kernel_matches_plane_kernel():
+    """The separable-c lines kernel (two line inputs, c/z0/interior rebuilt
+    in VMEM) is bit-identical to the plane kernel AND the XLA fallback on
+    the outer-product grid — including saturation and the interior mask."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from shaderflow_tpu.ops.fractal import _interior_mask
+
+    h, w = 64, 128
+    cx_line = np.linspace(-2.2, 1.0, w, dtype=np.float32)
+    cy_line = np.linspace(-1.3, 1.3, h, dtype=np.float32)
+    cx = np.broadcast_to(cx_line[None, :], (h, w))
+    cy = np.broadcast_to(cy_line[:, None], (h, w))
+    for cap in (None, 37):
+        ref = np.asarray(_escape_xla(
+            jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(cx),
+            jnp.asarray(cy), 100, 3.0,
+            interior=_interior_mask(jnp.asarray(cx), jnp.asarray(cy)),
+            saturate=cap))
+        if cap is not None:
+            ref = np.minimum(ref, cap)
+            ref = np.where(np.asarray(_interior_mask(
+                jnp.asarray(cx), jnp.asarray(cy))), 100, ref)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(_escape_pallas(
+                jnp.asarray(cx_line).reshape(1, w),
+                jnp.asarray(cy_line).reshape(h, 1),
+                None, None, 100, 3.0, tile=(32, 64), unroll=16,
+                saturate=cap, sub_rows=16, monotone=True, lines=True))
+        np.testing.assert_array_equal(got, ref, err_msg=f"cap={cap}")
+
+
+def test_escape_iterations_sep_fallback_matches():
+    """On non-TPU backends escape_iterations_sep falls back to the plane
+    path on the broadcast grid — same counts as escape_iterations."""
+    from shaderflow_tpu.ops.fractal import escape_iterations_sep
+
+    w, h = 96, 48
+    cx_line = np.linspace(-2.0, 0.7, w, dtype=np.float32)
+    cy_line = np.linspace(-1.2, 1.2, h, dtype=np.float32)
+    c = np.stack(np.broadcast_arrays(cx_line[None, :], cy_line[:, None]), -1)
+    a = np.asarray(escape_iterations_sep(cx_line, cy_line, 80, saturate=23))
+    b = np.asarray(escape_iterations(c.astype(np.float32), 80, saturate=23))
+    np.testing.assert_array_equal(a, b)
