@@ -73,15 +73,15 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
                    lines: bool = False, out_dtype=jnp.int32) -> Array:
     """`lines=True` is the separable-c fast path (z0 == c == outer product
     of two lines): zx0 is the (1, W) cx line, zy0 the (H, 1) cy line, and
-    cx/cy/interior/predicted_rounds must be None. c, z0 and the cardioid/
+    cx/cy/interior must be None (predicted_rounds composes — see
+    _predict_rounds_sep). c, z0 and the cardioid/
     bulb interior mask are rebuilt in VMEM per sub-block, so the kernel's
     HBM inputs drop from four (H, W) f32 planes + an interior plane
     (~165 MB/frame at 4K) to two lines. Requires monotone (z0 == c with
     radius >= 2 — see escape_iterations). Counts stay bit-identical to the
     plane path: same step math, same ordering, f32 broadcasts are exact."""
     if lines:
-        assert monotone and cx is None and cy is None and interior is None \
-            and predicted_rounds is None
+        assert monotone and cx is None and cy is None and interior is None
         height, width = zy0.shape[0], zx0.shape[1]
     else:
         height, width = zx0.shape
@@ -289,13 +289,25 @@ def _escape_pallas(zx0: Array, zy0: Array, cx: Array, cy: Array,
     grid = (pl.cdiv(height, th), pl.cdiv(width, tw))
     out_shape = jax.ShapeDtypeStruct((height, width), out_dtype)
     if lines:
+        # *_ absorbs the scalar-prefetch ref PrefetchScalarGridSpec appends
+        # to every index_map call
+        line_specs = [pl.BlockSpec((1, tw), lambda i, j, *_: (0, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((th, 1), lambda i, j, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+        if predicted_rounds is not None:
+            pred = jnp.asarray(predicted_rounds, jnp.int32).reshape(
+                grid[0], grid[1], n_sub).transpose(0, 2, 1).reshape(
+                grid[0] * n_sub, grid[1])
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=line_specs, out_specs=block)
+            return pl.pallas_call(kernel, grid_spec=grid_spec,
+                                  out_shape=out_shape)(pred, zx0, zy0)
         return pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[pl.BlockSpec((1, tw), lambda i, j: (0, j),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((th, 1), lambda i, j: (i, 0),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=line_specs,
             out_specs=block,
             grid=grid,
         )(zx0, zy0)
@@ -343,6 +355,15 @@ def _predict_rounds(zx0: Array, zy0: Array, cx: Array, cy: Array,
     trips = _escape_xla(zxd, zyd, cxd, cyd, trip, radius, interior=intd)
     if intd is not None:
         trips = jnp.where(intd, 0, trips)
+    return _bin_rounds(trips, height, width, trip, unroll, th, tw, sub, dec)
+
+
+def _bin_rounds(trips: Array, height: int, width: int, trip: int,
+                unroll: int, th: int, tw: int, sub: int, dec: int) -> Array:
+    """Fold a dec-decimated per-pixel trip grid into per-sub-block unroll
+    round counts (n_ti, n_tj, n_sub): block max over the decimated samples
+    it covers, rounded up to rounds, clamped to the checked loop's own
+    maximum."""
     n_ti, n_tj = pl.cdiv(height, th), pl.cdiv(width, tw)
     n_sub = pl.cdiv(th, sub)
     cr, cc = sub // dec, tw // dec
@@ -353,6 +374,26 @@ def _predict_rounds(zx0: Array, zy0: Array, cx: Array, cy: Array,
     main_rounds = (trip - trip % unroll) // unroll
     rounds = jnp.minimum((bmax + (unroll - 1)) // unroll, main_rounds)
     return rounds.reshape(n_ti, n_sub, n_tj).transpose(0, 2, 1)
+
+
+def _predict_rounds_sep(cx_line: Array, cy_line: Array, trip: int,
+                        radius: float, unroll: int, th: int, tw: int,
+                        sub: int, dec: int = 16) -> Array:
+    """Predicted rounds for the separable-c (lines) path: the decimated
+    escape pass runs on the outer product of the dec-strided lines —
+    (H/dec, W/dec) pixels, never materializing full planes (the whole point
+    of the lines kernel). Same lower-bound soundness as _predict_rounds;
+    interior pixels predict 0 (the kernel poisons them to dead anyway)."""
+    if sub % dec or tw % dec or th % sub:
+        return None
+    height, width = cy_line.shape[0], cx_line.shape[0]
+    cxd = cx_line[::dec][None, :]
+    cyd = cy_line[::dec][:, None]
+    cxd, cyd = jnp.broadcast_arrays(cxd, cyd)
+    intd = _interior_mask(cxd, cyd)
+    trips = _escape_xla(cxd, cyd, cxd, cyd, trip, radius, interior=intd)
+    trips = jnp.where(intd, 0, trips)
+    return _bin_rounds(trips, height, width, trip, unroll, th, tw, sub, dec)
 
 
 _PALLAS_OK: dict[str, bool] = {}
@@ -428,12 +469,23 @@ def escape_iterations_sep(cx_line: Array, cy_line: Array, max_iter: int,
         unroll = int(os.environ.get("SHADERFLOW_FRACTAL_UNROLL", "16"))
         sub_rows = int(os.environ.get("SHADERFLOW_FRACTAL_SUB", "64"))
         th, tw = (int(x) for x in tile.split("x"))
+        th_eff, tw_eff = min(th, height), min(tw, width)
+        sub_eff = max(8, min(sub_rows, th_eff))
+        predicted = None
+        if os.environ.get("SHADERFLOW_FRACTAL_PREDICT", "0") == "1":
+            trip = int(max_iter) if saturate is None else min(
+                int(max_iter), -(-int(saturate) // unroll) * unroll)
+            predicted = _predict_rounds_sep(
+                cx_line, cy_line, trip, float(radius), unroll,
+                th_eff, tw_eff, sub_eff)
         return _escape_pallas(cx_line.reshape(1, width),
                               cy_line.reshape(height, 1),
                               None, None, int(max_iter), float(radius),
                               tile=(th, tw), unroll=unroll,
                               saturate=saturate, sub_rows=sub_rows,
-                              monotone=True, lines=True, out_dtype=out_dtype)
+                              monotone=True, lines=True,
+                              predicted_rounds=predicted,
+                              out_dtype=out_dtype)
     c = jnp.stack(jnp.broadcast_arrays(cx_line[None, :], cy_line[:, None]),
                   axis=-1)
     return escape_iterations(c, max_iter, radius=radius, saturate=saturate,

@@ -206,3 +206,57 @@ def test_escape_iterations_sep_fallback_matches():
     a = np.asarray(escape_iterations_sep(cx_line, cy_line, 80, saturate=23))
     b = np.asarray(escape_iterations(c.astype(np.float32), 80, saturate=23))
     np.testing.assert_array_equal(a, b)
+
+
+def test_lines_kernel_predicted_rounds_bit_identical():
+    """The separable-c lines kernel composes with scalar-prefetched
+    predicted rounds (the mandelbrot graded config runs exactly this under
+    SHADERFLOW_FRACTAL_PREDICT): counts stay bit-identical to the
+    unpredicted lines kernel for a correct lower bound, a deliberate
+    under-prediction (zeros), and a deliberate OVER-prediction (the
+    monotone count path cannot over-count dead pixels)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from shaderflow_tpu.ops.fractal import _predict_rounds_sep
+
+    h, w = 64, 128
+    th, tw, sub, unroll = 32, 64, 16, 8
+    cx_line = jnp.asarray(np.linspace(-2.2, 1.0, w, dtype=np.float32))
+    cy_line = jnp.asarray(np.linspace(-1.3, 1.3, h, dtype=np.float32))
+    cap = 37
+    trip = min(96, -(-cap // unroll) * unroll)
+    pred = _predict_rounds_sep(cx_line, cy_line, trip, 3.0, unroll,
+                               th, tw, sub, dec=16)
+    assert pred is not None
+    args = (cx_line.reshape(1, w), cy_line.reshape(h, 1), None, None, 96, 3.0)
+    kw = dict(tile=(th, tw), unroll=unroll, saturate=cap, sub_rows=sub,
+              monotone=True, lines=True)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(_escape_pallas(*args, **kw))
+        fast = np.asarray(_escape_pallas(*args, predicted_rounds=pred, **kw))
+        zero = np.asarray(_escape_pallas(
+            *args, predicted_rounds=jnp.zeros_like(pred), **kw))
+        over = np.asarray(_escape_pallas(
+            *args, predicted_rounds=jnp.full_like(pred, 10 ** 6), **kw))
+    np.testing.assert_array_equal(fast, base)
+    np.testing.assert_array_equal(zero, base)
+    np.testing.assert_array_equal(over, base)
+
+
+def test_predict_rounds_sep_matches_plane_predictor():
+    """_predict_rounds_sep on lines equals _predict_rounds on the broadcast
+    planes (same decimation, same interior handling, same binning)."""
+    from shaderflow_tpu.ops.fractal import (_interior_mask, _predict_rounds,
+                                            _predict_rounds_sep)
+    import jax.numpy as jnp
+
+    h, w = 64, 128
+    cx_line = jnp.asarray(np.linspace(-2.2, 1.0, w, dtype=np.float32))
+    cy_line = jnp.asarray(np.linspace(-1.3, 1.3, h, dtype=np.float32))
+    cx = jnp.broadcast_to(cx_line[None, :], (h, w))
+    cy = jnp.broadcast_to(cy_line[:, None], (h, w))
+    interior = _interior_mask(cx, cy)
+    a = _predict_rounds_sep(cx_line, cy_line, 96, 3.0, 8, 32, 64, 16, dec=16)
+    b = _predict_rounds(cx, cy, cx, cy, 96, 3.0, interior,
+                        8, 32, 64, 16, dec=16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
