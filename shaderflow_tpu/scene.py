@@ -337,7 +337,11 @@ class ShaderScene(ShaderModule):
             self.engine.capture_frame()
 
         if self.vsync is not None:
-            self.vsync.fps = self.fps
+            # Track live fps edits (HUD slider); one realtime launch covers
+            # _rt_batch_active frame periods, so the launch task paces at
+            # fps/N (see _realtime_frame's micro-batching)
+            self.vsync.fps = self.fps / max(1, getattr(
+                self, "_rt_batch_active", 1))
         self.dt = dt * self.speed
         self.rdt = dt
         self.time += self.dt
@@ -614,9 +618,14 @@ class ShaderScene(ShaderModule):
             self._keymap = X11Keymap()
             self._autorelease = AutoReleaseKeys()
 
+        # A forced micro-batch (SHADERFLOW_RT_BATCH=N) covers N frame
+        # periods per launch, so the launch task paces at fps/N; auto mode
+        # starts per-frame and _rt_batch_feedback retunes the frequency.
+        setting = os.environ.get("SHADERFLOW_RT_BATCH", "auto")
+        forced = int(setting) if setting.isdigit() else 0
         self.vsync = self.scheduler.new(
             task=self._realtime_frame,
-            frequency=self.fps,
+            frequency=self.fps / max(1, forced),
             frameskip=frameskip,
             precise=True,
         )
@@ -645,13 +654,22 @@ class ShaderScene(ShaderModule):
         if self.frame_limit is not None and self.frame >= self.frame_limit:
             self.quit = True
             return
-        self.engine.begin_batch()
-        self.next(dt=dt)
-        dispatched = self.engine.flush(1)
         has_display = (getattr(self, "_window", None) is not None
                        or getattr(self, "_preview", None) is not None)
-        if has_display and os.environ.get("SHADERFLOW_SYNC_DISPLAY") != "1":
+        async_display = (has_display
+                         and os.environ.get("SHADERFLOW_SYNC_DISPLAY") != "1")
+        n = self._rt_batch_size(auto_ok=async_display)
+        if self.frame_limit is not None:
+            n = max(1, min(n, self.frame_limit - self.frame))
+        self._rt_batch_active = n
+        t0 = time.perf_counter()
+        self.engine.begin_batch()
+        for _ in range(n):
+            self.next(dt=dt / n)
+        dispatched = self.engine.flush(n)
+        if async_display:
             self._async_display_frame(dispatched)
+            self._rt_batch_feedback(time.perf_counter() - t0, n)
             return
         # Synchronous display (SHADERFLOW_SYNC_DISPLAY=1, and headless):
         # show frame k-depth while the device renders frame k; the loop
@@ -668,20 +686,81 @@ class ShaderScene(ShaderModule):
             return
         frames = queue.pop(0)
         if getattr(self, "_window", None) is not None:
-            frame = np.asarray(frames[0])
+            frame = np.asarray(frames[-1])
             if self.render_ui:
                 frame = self._draw_hud(frame.copy())
             self._window.show(frame)
             self._dispatch_window_events(self._window.poll())
         elif getattr(self, "_preview", None) is not None:
             cv2 = self._preview
-            frame = np.asarray(frames[0])
+            frame = np.asarray(frames[-1])
             if self.render_ui:
                 frame = self._draw_hud(frame.copy())
             cv2.imshow(self.title, frame[..., ::-1])
             self._poll_input(cv2.waitKey(1) & 0xFF)
         else:
             np.asarray(frames)  # realize the computation for honest pacing
+
+    # ------------------------------------------------------------------ #
+    # Realtime micro-batching: on remote-attached chips the per-launch
+    # dispatch RPC (~15-20 ms through this environment's tunnel) exceeds a
+    # 60 fps frame budget on its own, capping per-frame-launch realtime at
+    # ~50 fps regardless of shader cost (tools/bench_preview.py, 08-18).
+    # Rendering N frames per launch amortizes it — the same trade the
+    # export path makes at batch 64, scaled down to keep input latency
+    # interactive (input is polled once per launch, so N=4 at 60 fps
+    # samples input at 15 Hz). SHADERFLOW_RT_BATCH=N forces a size;
+    # "auto" (default) starts at 1 and doubles only while the measured
+    # per-frame loop cost misses the frame budget (local PCIe attachments
+    # never trigger it).
+
+    _RT_BATCH_MAX = 8
+
+    def _rt_batch_size(self, auto_ok: bool) -> int:
+        setting = os.environ.get("SHADERFLOW_RT_BATCH", "auto")
+        if setting.isdigit():
+            return max(1, int(setting))
+        if not auto_ok:
+            return 1
+        return max(1, getattr(self, "_rt_batch_n", 1))
+
+    def _rt_batch_feedback(self, call_seconds: float, n: int) -> None:
+        """Adapt the auto micro-batch size from the measured loop cost
+        (dispatch + display offer; transfers never block the loop). Three
+        consecutive over-budget ticks double N; three consecutive ticks
+        under 35% of budget halve it (hysteresis against oscillation)."""
+        if not os.environ.get("SHADERFLOW_RT_BATCH", "auto") == "auto":
+            return
+        per_frame = call_seconds / max(1, n)
+        period = 1.0 / max(1e-6, self.fps)
+        ema = getattr(self, "_rt_cost_ema", per_frame)
+        ema += 0.25 * (per_frame - ema)
+        self._rt_cost_ema = ema
+        streak = getattr(self, "_rt_streak", 0)
+        if ema > 1.05 * period:
+            streak = max(1, streak + 1)
+        elif ema < 0.35 * period:
+            streak = min(-1, streak - 1)
+        else:
+            streak = 0
+        self._rt_streak = streak
+        current = max(1, getattr(self, "_rt_batch_n", 1))
+        new = current
+        if streak >= 3 and current < self._RT_BATCH_MAX:
+            new = current * 2
+        elif streak <= -3 and current > 1:
+            new = current // 2
+        if new != current:
+            self._rt_batch_n = new
+            self._rt_streak = 0
+            if self.vsync is not None:
+                # One launch now covers `new` frames: the scheduler task
+                # paces launches, so its frequency drops to fps/new while
+                # each next() still steps dt/new per frame.
+                self.vsync.frequency = self.fps / new
+            logger.info(f"Realtime micro-batch -> {new} frames/launch "
+                        f"(loop {ema * 1e3:.1f} ms/frame vs "
+                        f"{period * 1e3:.1f} ms budget)")
 
     def _async_display_frame(self, dispatched) -> None:
         """Default windowed-display path: never block the loop on the
@@ -703,6 +782,11 @@ class ShaderScene(ShaderModule):
             self._inflight_rt.pop(0)[0].block_until_ready()
         pump.offer(dispatched)
         frame = pump.take()
+        if frame is not None:
+            # The pump may transfer a device-decimated frame on slow links;
+            # the window blits scaled, and the HUD hit map must translate
+            # window pixels into THIS frame's pixel space (frame_xy)
+            self._shown_frame_size = (frame.shape[1], frame.shape[0])
         if getattr(self, "_window", None) is not None:
             if frame is not None:
                 if self.render_ui:
@@ -726,13 +810,16 @@ class ShaderScene(ShaderModule):
         Keyboard = ShaderMessage.Keyboard
 
         def frame_xy(x: int, y: int) -> tuple[int, int]:
-            # Window pixels -> frame pixels (the window may be resized; the
-            # frame blits scaled). The HUD hit map lives in frame space.
+            # Window pixels -> SHOWN-frame pixels (the window may be
+            # resized, and the display pump may decimate frames on slow
+            # links; the frame blits scaled either way). The HUD hit map
+            # lives in the shown frame's pixel space.
             window = getattr(self, "_window", None)
             if window is None:
                 return x, y
             ww, wh = window.size
-            fw, fh = self.resolution
+            fw, fh = (getattr(self, "_shown_frame_size", None)
+                      or self.resolution)
             return (int(x * fw / max(1, ww)), int(y * fh / max(1, wh)))
 
         for event in events:

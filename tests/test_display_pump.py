@@ -121,3 +121,116 @@ def test_realtime_sync_display_flag(monkeypatch):
     scene.main(width=32, height=16, fps=60)
     assert scene.frame >= 1
     assert getattr(scene, "_display_pump", None) is None  # never created
+
+
+def test_pump_adaptive_decimation_and_duty(monkeypatch):
+    """Slow transfers pick a power-of-2 device-side decimation that fits
+    the budget, and fast ones return to full resolution."""
+    pump = DisplayPump.__new__(DisplayPump)  # controller logic only
+    pump.decimate = 1
+    pump._duty = 0.35
+    pump._target_s = 0.150
+    host = np.zeros((8, 8, 3), np.uint8)
+    # 600 ms full-frame transfer -> needs /2/2 = x4 area reduction... the
+    # smallest k with 0.6/k^2 <= 0.15 is k=2; a 2.5 s one needs k=8 (cap)
+    pump._adapt(0.600, host)
+    assert pump.decimate == 2
+    pump.decimate = 1
+    pump._adapt(2.5, host)
+    assert pump.decimate == 8
+    # From a decimated measurement the FULL cost is extrapolated: a 40 ms
+    # transfer at k=4 means full ~640 ms -> 640/16 <= 150 keeps k=4
+    pump.decimate = 4
+    pump._adapt(0.040, host)
+    assert pump.decimate == 4
+    # Fast link: back to full resolution
+    pump.decimate = 4
+    pump._adapt(0.0001, host)
+    assert pump.decimate == 1
+
+
+def test_pump_fetch_decimates_and_takes_newest():
+    pump = DisplayPump()
+    try:
+        pump.close()  # only using _fetch directly
+        batch = np.stack([np.full((8, 8, 3), k, np.uint8) for k in (1, 2)])
+        pump.decimate = 2
+        got = pump._fetch(batch)
+        assert got.shape == (4, 4, 3)
+        assert got[0, 0, 0] == 2  # the NEWEST frame of the batch
+        pump.decimate = 1
+        assert pump._fetch(batch).shape == (8, 8, 3)
+    finally:
+        pump.close()
+
+
+def test_pump_duty_cycle_close_is_fast(monkeypatch):
+    """A pump idling in its duty-cycle window must close immediately."""
+    monkeypatch.setenv("SHADERFLOW_DISPLAY_DUTY", "0.01")  # long idles
+    log = []
+    pump = DisplayPump()
+    try:
+        pump.offer(_SlowFrames(1, 0.05, log))  # 50 ms transfer -> ~5 s idle
+        deadline = time.time() + 5.0
+        while not log and time.time() < deadline:
+            time.sleep(0.005)
+        assert log  # transfer completed, worker now in its idle window
+        t0 = time.perf_counter()
+        pump.close()
+        assert time.perf_counter() - t0 < 2.0
+    finally:
+        pump.close()
+
+
+def test_rt_micro_batch_controller(monkeypatch):
+    """The auto controller doubles after sustained over-budget frames,
+    halves after sustained idle ones, and a forced env size wins."""
+    monkeypatch.delenv("SHADERFLOW_RT_BATCH", raising=False)
+    from shaderflow_tpu.scene import ShaderScene, WindowBackend
+
+    scene = ShaderScene(backend=WindowBackend.Headless)
+    scene.fps = 60.0
+    assert scene._rt_batch_size(auto_ok=True) == 1
+    # 30 ms/frame against a 16.7 ms budget: doubles after 3 streak ticks
+    # (EMA needs a couple of ticks to cross the 1.05x threshold)
+    for _ in range(8):
+        n = scene._rt_batch_size(auto_ok=True)
+        scene._rt_batch_feedback(0.030 * n, n)
+    assert scene._rt_batch_size(auto_ok=True) >= 2
+    # Fast frames walk it back down to 1
+    for _ in range(40):
+        n = scene._rt_batch_size(auto_ok=True)
+        scene._rt_batch_feedback(0.001 * n, n)
+    assert scene._rt_batch_size(auto_ok=True) == 1
+    # auto never batches on paths that can't display asynchronously
+    scene._rt_batch_n = 4
+    assert scene._rt_batch_size(auto_ok=False) == 1
+    monkeypatch.setenv("SHADERFLOW_RT_BATCH", "3")
+    assert scene._rt_batch_size(auto_ok=False) == 3
+    scene._rt_batch_feedback(1.0, 3)  # forced: feedback is a no-op
+    assert scene._rt_batch_size(auto_ok=True) == 3
+
+
+def test_realtime_forced_micro_batch_frame_count(monkeypatch):
+    """SHADERFLOW_RT_BATCH=2 renders 2 frames per launch through the real
+    windowed loop (the engine traces a batch=2 program) and the loop still
+    terminates on frame_limit. (The frame counter is time-derived, so the
+    exact count depends on wall dt — only the floor is asserted.)"""
+    pygame = pytest.importorskip("pygame")
+    monkeypatch.setenv("SHADERFLOW_PREVIEW", "sdl")
+    monkeypatch.setenv("SHADERFLOW_RT_BATCH", "2")
+    from shaderflow_tpu.scene import ShaderScene, WindowBackend
+
+    scene = ShaderScene(backend=WindowBackend.Preview)
+    scene.frame_limit = 7
+    pygame.display.init()
+    scene.initialize()  # idempotent; main() would do the same
+    calls = []
+    orig = scene.engine.flush
+    scene.engine.flush = lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+    scene.main(width=32, height=16, fps=60)
+    assert scene.frame >= 7
+    assert calls and all(a[0] in (1, 2) for a in calls)
+    assert any(a[0] == 2 for a in calls)  # micro-batched launches happened
+    # The launch task paced at fps/2 (one launch covers two frame periods)
+    assert scene.vsync.frequency == pytest.approx(30.0)

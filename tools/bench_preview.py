@@ -72,43 +72,56 @@ def bench_link(scene, fps: float, reps: int = 5) -> float:
 
 
 def bench_paced(scene, fps: float, frames: int) -> dict:
-    """The real async-display realtime path, paced at `fps`."""
+    """The real async-display realtime path, paced at `fps`: duty-cycled /
+    adaptively-decimated display pump + the scene's own auto micro-batch
+    controller (scene._rt_batch_size/_rt_batch_feedback — N frames per
+    launch when the per-launch dispatch RPC exceeds the frame budget).
+    Reports per-FRAME pacing (a launch covers N frames)."""
     import numpy as np
     from shaderflow_tpu.io.displaypump import DisplayPump
 
     pump = DisplayPump()
     scene.render_ui = True
     inflight = []
-    times = []
+    times = []       # (wall_seconds, frames_covered) per launch
     displayed = 0
+    rendered = 0
     try:
-        for k in range(frames + 10):
+        while rendered < frames + 10:
             t0 = time.perf_counter()
+            n = scene._rt_batch_size(auto_ok=True)
             scene.engine.begin_batch()
-            scene.next(dt=1.0 / fps)
-            dispatched = scene.engine.flush(1)
+            for _ in range(n):
+                scene.next(dt=1.0 / fps / n)
+            dispatched = scene.engine.flush(n)
             inflight.append(dispatched)
             while len(inflight) > 3:
                 inflight.pop(0)[0].block_until_ready()
             pump.offer(dispatched)
             frame = pump.take()
+            call = time.perf_counter() - t0
+            scene._rt_batch_feedback(call, n)
             if frame is not None:
                 scene._draw_hud(frame.copy())
                 displayed += 1
-            budget = 1.0 / fps - (time.perf_counter() - t0)
+            budget = n / fps - call
             if budget > 0:
                 time.sleep(budget)
-            if k >= 10:
-                times.append(time.perf_counter() - t0)
+            rendered += n
+            if rendered > 10:
+                times.append((time.perf_counter() - t0, n))
     finally:
         pump.close()
-    times = np.asarray(times)
-    wall = times.sum()
+    per_frame = np.asarray([t / n for t, n in times])
+    wall = sum(t for t, _ in times)
+    n_final = scene._rt_batch_size(auto_ok=True)
     return {
-        "fps_achieved": 1.0 / times.mean(),
-        "frame_ms_p95": float(np.percentile(times, 95) * 1e3),
-        "missed_pct": float((times > 1.0 / fps * 1.05).mean() * 100),
+        "fps_achieved": 1.0 / per_frame.mean(),
+        "frame_ms_p95": float(np.percentile(per_frame, 95) * 1e3),
+        "missed_pct": float((per_frame > 1.0 / fps * 1.05).mean() * 100),
         "display_fps": displayed / wall if wall > 0 else 0.0,
+        "rt_batch": int(n_final),
+        "display_decimate": int(pump.decimate),
     }
 
 
@@ -134,7 +147,9 @@ def main() -> None:
     print(f"paced-60 {width}x{height}: scene loop {paced['fps_achieved']:.1f} fps "
           f"(p95 {paced['frame_ms_p95']:.1f} ms, {paced['missed_pct']:.1f}% over "
           f"budget -> {loop_verdict}), display {paced['display_fps']:.1f} fps "
-          f"(link-bound: one {mb:.1f} MB frame per {link_s * 1e3:.0f} ms)")
+          f"(link-bound: one {mb:.1f} MB frame per {link_s * 1e3:.0f} ms), "
+          f"micro-batch {paced['rt_batch']} frames/launch, "
+          f"display decimate x{paced['display_decimate']}")
 
 
 if __name__ == "__main__":
