@@ -119,8 +119,9 @@ def main() -> None:
     fps = float(os.environ.get("BENCH_FPS", 60.0))
     ssaa = float(os.environ.get("BENCH_SSAA", 2.0))
     # Fixed default batch so repeat runs (and the persistent compile cache)
-    # always see identical program shapes
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    # always see identical program shapes (matches scene.default_batch_size
+    # at 1080p)
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     which = os.environ.get("BENCH_SCENE", "visualizer")
 
     if not os.environ.get("BENCH_SKIP_PROBE") and not _device_alive_with_retries():

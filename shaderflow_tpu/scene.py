@@ -464,9 +464,11 @@ class ShaderScene(ShaderModule):
         """Frames per device launch: larger batches amortize per-launch
         dispatch/transfer latency (significant on remote-attached devices);
         bounded by output size so frame buffers + streamed texture stacks
-        stay modest. 64 frames at 1080p, 16 at 4K."""
+        stay modest (~0.75 GB of u8 output per batch). 128 frames at 1080p,
+        32 at 4K — A/B-measured on the v5e: 1080p batch 128 is +15% over 64
+        (837 vs 729 fps headline; per-launch latency halves per frame)."""
         pixels = self._width * self._height
-        return int(np.clip(2 ** 27 // max(1, pixels), 4, 64))
+        return int(np.clip(2 ** 28 // max(1, pixels), 4, 128))
 
     def _export_loop(self, export: ExportingHelper, batch: Optional[int],
                      start_frame: int = 0, devices: Optional[int] = None):
