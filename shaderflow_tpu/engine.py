@@ -50,6 +50,12 @@ from shaderflow_tpu import logger
 from shaderflow_tpu.ops import tailfuse
 
 
+# Reserved static-texture key prefix carrying precomputed batch-invariant
+# prelude fields into the render program ("\0" cannot appear in user texture
+# names, which come from Python identifiers / CLI args)
+_PRELUDE_KEY = "\0prelude:"
+
+
 class PreludeCtx:
     """Trace-time context handed to scene.batch_preludes functions.
 
@@ -260,6 +266,32 @@ class RenderEngine:
         seq_windows = dict(self._sequence_windows)
         prelude_fns = dict(getattr(scene, "batch_preludes", None) or {})
 
+        # BATCH-INVARIANT preludes (leading axis 1) are also *flush*-invariant
+        # — recomputing their per-pixel fields inside every render launch
+        # costs real device time (~15 ms/batch for the visualizer's static
+        # fields at 1080p ssaa=2). Evaluate every prelude fn ONCE here under
+        # a probe jit (frames axis of 2, so a per-frame prelude can never
+        # masquerade as batch-invariant) and keep the axis-1 results as
+        # device arrays, threaded through the static-texture dict under a
+        # reserved name (signature + sharded wrappers unchanged; XLA DCEs
+        # the discarded per-frame probe outputs). Contract: a batch-invariant
+        # prelude may depend on sequence PRESENCE/shape but not contents —
+        # the cache refreshes on build, not on sequence data rebinds.
+        for name in [n for n in self._static_tex if n.startswith(_PRELUDE_KEY)]:
+            del self._static_tex[name]
+        if prelude_fns:
+            def _probe(sequences):
+                ctx = PreludeCtx(jnp.arange(2, dtype=jnp.int32), sequences,
+                                 sizes[-1], aspect)
+                out = {}
+                for name, fn in prelude_fns.items():
+                    value = fn(ctx)
+                    if value is not None and value.shape[0] == 1:
+                        out[name] = value
+                return out
+            for name, value in jax.jit(_probe)(self._sequences).items():
+                self._static_tex[_PRELUDE_KEY + name] = value
+
         def unpack_uniforms(row, spec):
             """Split one packed f32 row back into named uniform values.
             `spec` is a static tuple of (name, offset, size, kind, shape);
@@ -280,9 +312,15 @@ class RenderEngine:
 
             # Batch preludes: whole-batch precompute outside the scan (see
             # PreludeCtx). Needs the stepped frame index column to gather
-            # per-frame sequence rows.
+            # per-frame sequence rows. Batch-invariant preludes arrive
+            # precomputed through static_tex (reserved names, see build).
             prelude_vals = {}
-            static_prelude_vals = {}
+            static_prelude_vals = {
+                name[len(_PRELUDE_KEY):]: value
+                for name, value in static_tex.items()
+                if name.startswith(_PRELUDE_KEY)}
+            static_tex = {name: value for name, value in static_tex.items()
+                          if not name.startswith(_PRELUDE_KEY)}
             if prelude_fns:
                 frame_offset = next(
                     (offset for (name, offset, size, kind, shape) in spec
@@ -293,6 +331,8 @@ class RenderEngine:
                     ctx = PreludeCtx(frame_indices, sequences,
                                      sizes[-1], aspect)
                     for name, fn in prelude_fns.items():
+                        if name in static_prelude_vals:
+                            continue
                         value = fn(ctx)
                         if value is not None:
                             if value.shape[0] == 1:

@@ -142,7 +142,15 @@ def test_batch_prelude_flows_per_frame():
     # Frame k's red channel == k/10 (frame indices 0..3)
     np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.0, 0.1, 0.2, 0.3],
                                atol=0.01)
-    assert len(calls) == 1  # traced once, outside the scan
+    # Traced at most twice (the build-time batch-invariance probe + the
+    # render program), never per frame — and a second flush re-traces nothing
+    traces = len(calls)
+    assert traces <= 2
+    engine.begin_batch()
+    for _ in range(4):
+        scene.next(dt=scene.frametime)
+    engine.flush(4)
+    assert len(calls) == traces
 
 
 def test_prelude_returning_none_deactivates():
