@@ -105,7 +105,13 @@ def _chip_session_result(which: str):
                 candidates.append((path.stat().st_mtime, stem, data))
     if not candidates:
         return None
-    _, stem, data = max(candidates)
+    mtime, stem, data = max(candidates)
+    # Machine-readable staleness marker (VERDICT r4 #10): a driver parsing
+    # only top-level fields must be able to tell a replayed number from a
+    # fresh measurement.
+    data["stale"] = True
+    data["measured_at"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtime))
     data["note"] = (f"re-emitted from the running chip session's {stem} step "
                     "(the session held the device lock past this run's probe "
                     "budget); measured by the same bench.py on this chip")

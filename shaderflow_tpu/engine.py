@@ -112,6 +112,12 @@ class RenderEngine:
         self._streamed_names: set[str] = set()
         self._uniform_kinds: dict[str, str] = {}
 
+        # Batch-invariant prelude cache bookkeeping (see _ensure_prelude_cache)
+        self._prelude_fns: dict[str, Any] = {}
+        self._prelude_probe_state: Optional[tuple] = None
+        self._main_size: tuple = (0, 0)
+        self._aspect: float = 1.0
+
         # Per-batch capture state
         self._frame_uniforms: list[dict[str, np.ndarray]] = []
         self._frame_streams: dict[str, list[np.ndarray]] = {}
@@ -189,6 +195,7 @@ class RenderEngine:
             for prog in self._programs():
                 if prog.texture.temporal > 1 and prog.texture.matrix is not None:
                     self._carry[prog.name] = jax.numpy.asarray(prog.texture.matrix)
+            self._ensure_prelude_cache()  # sequence PRESENCE may have changed
             self.stale = False
             return
         self._build_key = key
@@ -266,31 +273,13 @@ class RenderEngine:
         seq_windows = dict(self._sequence_windows)
         prelude_fns = dict(getattr(scene, "batch_preludes", None) or {})
 
-        # BATCH-INVARIANT preludes (leading axis 1) are also *flush*-invariant
-        # — recomputing their per-pixel fields inside every render launch
-        # costs real device time (~15 ms/batch for the visualizer's static
-        # fields at 1080p ssaa=2). Evaluate every prelude fn ONCE here under
-        # a probe jit (frames axis of 2, so a per-frame prelude can never
-        # masquerade as batch-invariant) and keep the axis-1 results as
-        # device arrays, threaded through the static-texture dict under a
-        # reserved name (signature + sharded wrappers unchanged; XLA DCEs
-        # the discarded per-frame probe outputs). Contract: a batch-invariant
-        # prelude may depend on sequence PRESENCE/shape but not contents —
-        # the cache refreshes on build, not on sequence data rebinds.
-        for name in [n for n in self._static_tex if n.startswith(_PRELUDE_KEY)]:
-            del self._static_tex[name]
-        if prelude_fns:
-            def _probe(sequences):
-                ctx = PreludeCtx(jnp.arange(2, dtype=jnp.int32), sequences,
-                                 sizes[-1], aspect)
-                out = {}
-                for name, fn in prelude_fns.items():
-                    value = fn(ctx)
-                    if value is not None and value.shape[0] == 1:
-                        out[name] = value
-                return out
-            for name, value in jax.jit(_probe)(self._sequences).items():
-                self._static_tex[_PRELUDE_KEY + name] = value
+        # BATCH-INVARIANT preludes: see _ensure_prelude_cache. The probe
+        # state resets here so a full rebuild always re-probes.
+        self._prelude_fns = prelude_fns
+        self._main_size = sizes[-1]
+        self._aspect = aspect
+        self._prelude_probe_state = None
+        self._ensure_prelude_cache()
 
         def unpack_uniforms(row, spec):
             """Split one packed f32 row back into named uniform values.
@@ -462,6 +451,8 @@ class RenderEngine:
             self._refresh_static_textures()  # may invalidate (ring change)
         if self.stale:
             self.build()
+        else:
+            self._ensure_prelude_cache()  # sequence unbinds must drop caches
         self._frame_uniforms = []
         self._frame_streams = {name: [] for name in self._streamed_names}
 
@@ -501,6 +492,72 @@ class RenderEngine:
                 self._static_tex[name] = jnp.asarray(tex.matrix)
                 self._static_versions[name] = tex.version
                 tex.dirty = False
+
+    def _sequence_signature(self) -> tuple:
+        """Name + shape + dtype of every bound device sequence — the part of
+        engine state a batch-invariant prelude is allowed to observe."""
+        return tuple(sorted(
+            (name, tuple(seq.shape), str(seq.dtype))
+            for name, seq in self._sequences.items()))
+
+    def _ensure_prelude_cache(self) -> None:
+        """(Re)materialize batch-invariant prelude fields.
+
+        Recomputing frame-invariant per-pixel fields inside every render
+        launch costs real device time (~15 ms/batch for the visualizer's
+        static fields at 1080p ssaa=2), so prelude fns whose output proves
+        batch-invariant are evaluated once here under a probe jit and their
+        results threaded through the static-texture dict under a reserved
+        name (signature + sharded wrappers unchanged).
+
+        Contract: a cached prelude may depend on sequence PRESENCE / shape /
+        dtype (the probe re-runs whenever that signature or the prelude fn
+        set changes — including on the key-unchanged build fast path and
+        between batches) but NOT on sequence contents or on the concrete
+        frame-index VALUES. Both dependences are detected, not trusted: the
+        probe evaluates each fn twice at different frame offsets (0 and 7)
+        and only caches outputs with leading axis 1 that are bit-identical
+        across both probes — a prelude that reduces over ctx.frames /
+        ctx.rows(...) falls back to per-launch evaluation in render_batch.
+
+        Under SKIP_TPU the probe is skipped entirely (the flag exists to
+        benchmark the pure host loop; flush() never runs device programs),
+        leaving the per-launch axis-1 fallback semantically in charge."""
+        state = (tuple(sorted((n, id(f)) for n, f in self._prelude_fns.items())),
+                 self._sequence_signature())
+        if state == self._prelude_probe_state:
+            return
+        self._prelude_probe_state = state
+        for name in [n for n in self._static_tex if n.startswith(_PRELUDE_KEY)]:
+            del self._static_tex[name]
+        if not self._prelude_fns or SKIP_TPU:
+            return
+        prelude_fns = dict(self._prelude_fns)
+        main_size, aspect = self._main_size, self._aspect
+
+        def _probe(sequences):
+            out = {}
+            for offset in (0, 7):
+                ctx = PreludeCtx(jnp.arange(2, dtype=jnp.int32) + offset,
+                                 sequences, main_size, aspect)
+                vals = {}
+                for name, fn in prelude_fns.items():
+                    value = fn(ctx)
+                    if value is not None and value.shape[0] == 1:
+                        vals[name] = value
+                out[offset] = vals
+            return out
+
+        probed = jax.jit(_probe)(self._sequences)
+        base, shifted = probed[0], probed[7]
+        for name, value in base.items():
+            other = shifted.get(name)
+            if (other is not None and other.shape == value.shape
+                    and bool(jnp.array_equal(value, other))):
+                self._static_tex[_PRELUDE_KEY + name] = value
+            else:
+                logger.debug(f"Prelude {name!r} depends on frame index "
+                             f"values; left per-launch (not cached)")
 
     def capture_frame(self) -> None:
         """Snapshot the current frame's uniforms + dirty textures. Called

@@ -538,11 +538,16 @@ class ShaderScene(ShaderModule):
         # latency (significant on remote-attached chips) hides behind the
         # previous batch's compute instead of gapping the stream. depth=1
         # is the old capture-ahead behavior; each extra level holds one
-        # more (F, H, W, 3) u8 batch on device (~400 MB at 1080p batch 64).
-        # Default: 2, dropping to 1 when a batch exceeds ~1 GB (4K batch 64
-        # would pin 3 x 1.6 GB of HBM — an OOM-risk regression otherwise).
+        # more (F, H, W, 3) u8 batch on device (~796 MB at the default
+        # batch sizes: 1080p batch 128 / 4K batch 32 — default_batch_size
+        # targets ~0.75 GB of frames). Budget: up to depth+1 batches can be
+        # pinned at once (depth in flight + one being filled); cap that at
+        # ~2.5 GB of the v5e's 16 GB HBM (render intermediates are
+        # per-frame inside the scan, so u8 outputs dominate pinned state).
+        # depth 2 while 3 batches fit, else 1 — an explicit batch= above
+        # ~850 MB (e.g. 4K batch 64 = 1.6 GB) degrades to depth 1.
         batch_bytes = size * self._width * self._height * 3
-        default_depth = 2 if batch_bytes <= (1 << 30) else 1
+        default_depth = 2 if 3 * batch_bytes <= (5 << 29) else 1
         depth = max(1, int(os.environ.get("SHADERFLOW_PIPELINE_DEPTH",
                                           str(default_depth))))
         trace = os.environ.get("SHADERFLOW_BATCH_TRACE") == "1"

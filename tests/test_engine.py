@@ -142,10 +142,11 @@ def test_batch_prelude_flows_per_frame():
     # Frame k's red channel == k/10 (frame indices 0..3)
     np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.0, 0.1, 0.2, 0.3],
                                atol=0.01)
-    # Traced at most twice (the build-time batch-invariance probe + the
-    # render program), never per frame — and a second flush re-traces nothing
+    # Traced at most thrice (the build-time batch-invariance probe calls the
+    # fn at two frame offsets + the render program), never per frame — and a
+    # second flush re-traces nothing
     traces = len(calls)
-    assert traces <= 2
+    assert traces <= 3
     engine.begin_batch()
     for _ in range(4):
         scene.next(dt=scene.frametime)
@@ -203,3 +204,71 @@ def test_static_prelude_shared_across_frames():
     # Every frame reads the shared 0.5 plane; green still varies per frame
     np.testing.assert_allclose(frames[:, 0, 0, 0] / 255, [0.5] * 4, atol=0.01)
     assert len({frames[k, 0, 0, 1] for k in range(4)}) > 1
+
+def test_prelude_cache_drops_when_sequence_unbinds():
+    """ADVICE r4 (medium): a batch-invariant prelude cached while a device
+    sequence was bound must be re-probed when the sequence's PRESENCE
+    changes — offline export then realtime on the same scene instance must
+    not keep serving the sequence-era field."""
+    class Presence(ShaderScene):
+        def build(self):
+            self.seq_tex = ShaderTexture(scene=self, name="seq", width=1,
+                                         height=1, components=1,
+                                         dtype=np.float32)
+            self.seq_tex.set_sequence(
+                jnp.ones((8, 1, 1, 1), jnp.float32), quantize=0)
+
+            def prelude(ctx):
+                h, w = ctx.render_size
+                value = 0.75 if ctx.sequence("seq") is not None else 0.25
+                return value * jnp.ones((1, h, w), jnp.float32)
+
+            self.batch_preludes["field"] = prelude
+            self.shader.fragment = lambda sf: ops.vec4(
+                sf.prelude("field"), 0.0, 0.0, 1.0)
+
+    scene = Presence()
+    scene._setup_run(width=8, height=8, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(1))
+    np.testing.assert_allclose(frames[0, 0, 0, 0] / 255, 0.75, atol=0.01)
+
+    scene.seq_tex.set_sequence(None)
+    scene.seq_tex.write(np.zeros((1, 1, 1), np.float32))
+    engine.begin_batch()
+    scene.next(dt=scene.frametime)
+    frames = np.asarray(engine.flush(1))
+    np.testing.assert_allclose(frames[0, 0, 0, 0] / 255, 0.25, atol=0.01)
+
+
+def test_frame_value_dependent_axis1_prelude_not_frozen():
+    """ADVICE r4 (low): an axis-1 prelude that REDUCES over ctx.frames must
+    not be frozen at the probe's indices — the dual-offset probe detects the
+    frame-value dependence and leaves it per-launch."""
+    class Reducer(ShaderScene):
+        def build(self):
+            def prelude(ctx):
+                h, w = ctx.render_size
+                mean = jnp.mean(ctx.frames.astype(jnp.float32))
+                return (mean / 20.0) * jnp.ones((1, h, w), jnp.float32)
+
+            self.batch_preludes["mean"] = prelude
+            self.shader.fragment = lambda sf: ops.vec4(
+                sf.prelude("mean"), 0.0, 0.0, 1.0)
+
+    scene = Reducer()
+    scene._setup_run(width=8, height=8, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(4):
+        scene.next(dt=scene.frametime)
+    first = np.asarray(engine.flush(4))[0, 0, 0, 0] / 255
+    engine.begin_batch()
+    for _ in range(4):
+        scene.next(dt=scene.frametime)
+    second = np.asarray(engine.flush(4))[0, 0, 0, 0] / 255
+    # Batch 1 frames 0-3 (mean 1.5), batch 2 frames 4-7 (mean 5.5)
+    np.testing.assert_allclose(first, 1.5 / 20, atol=0.01)
+    np.testing.assert_allclose(second, 5.5 / 20, atol=0.01)

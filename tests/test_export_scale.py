@@ -243,26 +243,35 @@ def test_export_loop_overlaps_compute_and_writes(monkeypatch):
     render under each sleep, so the wall grows by roughly
     B * (sleep - render) instead."""
     batches = 48 // 8
-    calibrate = _TimingSink(per_batch=0.0)
-    wall0 = _run_with_sink(calibrate, monkeypatch)
-    assert calibrate.frames == 48
-    steady = float(np.median(np.diff(calibrate.stamps)))
-    if steady < 0.05:
-        pytest.skip(f"render too fast to measure overlap ({steady*1e3:.1f} ms/batch)")
+    # Timing test: retry under transient host contention (another process
+    # stealing the core inflates one run's wall time); genuine loss of
+    # overlap fails all three attempts deterministically.
+    last = None
+    for attempt in range(3):
+        calibrate = _TimingSink(per_batch=0.0)
+        wall0 = _run_with_sink(calibrate, monkeypatch)
+        assert calibrate.frames == 48
+        steady = float(np.median(np.diff(calibrate.stamps)))
+        if steady < 0.05:
+            pytest.skip(f"render too fast to measure overlap ({steady*1e3:.1f} ms/batch)")
 
-    sleep = min(1.0, 1.5 * steady)
-    timed = _TimingSink(per_batch=sleep)
-    wall1 = _run_with_sink(timed, monkeypatch)
-    assert timed.frames == 48
-    added = wall1 - wall0
-    serial_add = batches * sleep
-    print(f"\nexport loop overlap: steady render {steady*1e3:.0f} ms/batch; "
-          f"adding {sleep*1e3:.0f} ms/batch of sink cost grew the wall by "
-          f"{added:.2f}s (serial would be +{serial_add:.2f}s)")
-    # Pipelined: most of the render time hid under the sink sleeps
-    assert added < 0.75 * serial_add, (
-        f"no compute/write overlap: wall grew {added:.2f}s "
-        f"~ serial {serial_add:.2f}s")
+        sleep = min(1.0, 1.5 * steady)
+        timed = _TimingSink(per_batch=sleep)
+        wall1 = _run_with_sink(timed, monkeypatch)
+        assert timed.frames == 48
+        added = wall1 - wall0
+        serial_add = batches * sleep
+        print(f"\nexport loop overlap[{attempt}]: steady render "
+              f"{steady*1e3:.0f} ms/batch; adding {sleep*1e3:.0f} ms/batch "
+              f"of sink cost grew the wall by {added:.2f}s "
+              f"(serial would be +{serial_add:.2f}s)")
+        # Pipelined: most of the render time hid under the sink sleeps
+        if added < 0.75 * serial_add:
+            return
+        last = (added, serial_add)
+    added, serial_add = last
+    raise AssertionError(f"no compute/write overlap in 3 attempts: wall "
+                         f"grew {added:.2f}s ~ serial {serial_add:.2f}s")
 
 
 def test_pipeline_depth_preserves_order_and_content(tmp_path, monkeypatch):
