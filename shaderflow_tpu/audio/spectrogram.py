@@ -102,10 +102,11 @@ class BrokenSpectrogram:
         rolling buffer's last 2^n samples."""
         data = self.audio.get_last_n_samples(int(2 ** self.fft_n))
         if self.sample_rateio != 1:
-            # Integer-factor resample via linear interpolation (no external dep)
-            n = data.shape[1] * self.sample_rateio
-            x_new = np.linspace(0, data.shape[1] - 1, n)
-            data = np.stack([np.interp(x_new, np.arange(data.shape[1]), ch) for ch in data])
+            # Integer-factor windowed-sinc upsample (the reference's
+            # libsamplerate step, spectrogram.py:160-167) — pinned against
+            # scipy.signal.resample_poly in test_spectral.py
+            data = spectral.sinc_upsample(
+                np.asarray(data, np.float32), self.sample_rateio)
         window = self.window(self.fft_size)
         return np.asarray(self.magnitude(np.fft.rfft(window * data))).astype(np.float32)
 
@@ -208,7 +209,8 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         def compute(audio, offsets):
             banded = spectral.spectrogram_batch(
                 audio, offsets, self.fft_size, window, matrix,
-                magnitude=self.magnitude)                    # (F, C, bins)
+                magnitude=self.magnitude,
+                upsample=self.sample_rateio)                 # (F, C, bins)
             flat = banded.reshape(total, -1)
             # Per-frame smoothing step uses scene dt = speed/fps, matching
             # the realtime path's dynamics.next(dt=|scene.dt|)
@@ -232,8 +234,8 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         setup() keyed by everything that shapes it."""
         key = (getattr(self.audio, "file", None), self.audio.samplerate,
                round(self.scene.runtime * self.scene.fps), self.scene.speed,
-               self.fft_n, self.spectrogram_bins, self.length_samples,
-               type(self.magnitude).__name__, self.smooth)
+               self.fft_n, self.sample_rateio, self.spectrogram_bins,
+               self.length_samples, type(self.magnitude).__name__, self.smooth)
         cached = getattr(self, "_precompute_key", None)
         if cached == key and getattr(self, "_precompute_value", None) is not None:
             return self._precompute_value

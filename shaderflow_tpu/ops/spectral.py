@@ -121,9 +121,11 @@ def band_matrix(
 # --------------------------------------------------------------------------- #
 # Batched STFT
 
-def stft_frames(audio: Array, offsets: Array, fft_size: int, window: Array) -> Array:
+def stft_frames(audio: Array, offsets: Array, fft_size: int,
+                window: Array | None) -> Array:
     """Gather + window frames: audio (C, S), offsets (F,) start samples of
-    each frame's window -> (F, C, fft_size) windowed slices.
+    each frame's window -> (F, C, fft_size) windowed slices (window=None
+    skips the taper — used when the caller upsamples before windowing).
 
     Offsets may exceed bounds; samples are taken with clamping at the edges
     (leading silence is the caller's concern — the rolling-buffer semantics
@@ -133,7 +135,67 @@ def stft_frames(audio: Array, offsets: Array, fft_size: int, window: Array) -> A
     idx = jnp.clip(idx, 0, audio.shape[1] - 1)
     frames = audio[:, idx]                                          # (C, F, N)
     frames = jnp.where(valid[None], frames, 0.0)
-    return jnp.transpose(frames, (1, 0, 2)) * window[None, None, :]
+    frames = jnp.transpose(frames, (1, 0, 2))
+    return frames if window is None else frames * window[None, None, :]
+
+
+# --------------------------------------------------------------------------- #
+# Windowed-sinc polyphase upsampling
+#
+# The reference shells out to libsamplerate's sinc converter when
+# sample_rateio != 1 (/root/reference/shaderflow/audio/spectrogram.py:160-167).
+# Here the same job is a small FIR convolution — zero-stuff by the factor and
+# low-pass with a Kaiser-windowed sinc — which is ideal VPU/MXU work on the
+# batched device path (lax.conv with lhs dilation) and a single np.convolve
+# on the realtime per-frame path.
+
+@lru_cache
+def sinc_kernel(factor: int, taps_per_phase: int = 16,
+                beta: float = 8.555) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass for integer-factor upsampling: cutoff
+    at the INPUT Nyquist (1/factor of the output rate), odd length
+    2*taps_per_phase*factor + 1, DC gain `factor` (so the zero-stuffed
+    signal keeps its amplitude). beta=8.555 ~ 90 dB stopband (the same
+    design point as scipy.signal.resample_poly's default)."""
+    half = taps_per_phase * factor
+    m = np.arange(-half, half + 1, dtype=np.float64)
+    h = np.sinc(m / factor) * np.kaiser(2 * half + 1, beta)
+    return (factor * h / h.sum()).astype(np.float32)
+
+
+def sinc_upsample(x, factor: int, taps_per_phase: int = 16):
+    """Integer-factor upsample of the last axis: (..., N) -> (..., N*factor).
+
+    Polyphase windowed-sinc, centered (output j sits at input time
+    j/factor), zero edge handling — same contract as
+    scipy.signal.resample_poly(x, factor, 1) and pinned against it in
+    tests/test_spectral.py. numpy in -> numpy out (the realtime per-frame
+    CPU path must not bounce through the device); jax in -> jax out (the
+    jitted precompute path, lowered to a dilated conv)."""
+    if factor == 1:
+        return x
+    h = sinc_kernel(int(factor), taps_per_phase)
+    half = (h.size - 1) // 2
+    lead, n = x.shape[:-1], x.shape[-1]
+    if isinstance(x, np.ndarray):
+        flat = np.ascontiguousarray(x, np.float32).reshape(-1, n)
+        out = np.empty((flat.shape[0], n * factor), np.float32)
+        stuffed = np.zeros(n * factor, np.float32)
+        for row in range(flat.shape[0]):
+            stuffed[::factor] = flat[row]
+            out[row] = np.convolve(stuffed, h)[half:half + n * factor]
+        return out.reshape(*lead, n * factor)
+    flat = x.astype(jnp.float32).reshape(-1, 1, n)
+    # lax.conv is cross-correlation; the kernel is symmetric so no flip.
+    # Dilated length (n-1)*factor + 1; pad out to n*factor + 2*half so the
+    # valid conv returns exactly n*factor centered samples.
+    out = jax.lax.conv_general_dilated(
+        flat, h[None, None, :].astype(jnp.float32),
+        window_strides=(1,),
+        padding=[(half, half + factor - 1)],
+        lhs_dilation=(factor,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out.reshape(*lead, n * factor)
 
 
 def spectrogram_batch(
@@ -144,12 +206,20 @@ def spectrogram_batch(
     matrix: Array,
     magnitude: Callable[[Array], Array] = magnitude_power,
     volume: Callable[[Array], Array] | None = None,
+    upsample: int = 1,
 ) -> Array:
     """Whole-trajectory spectrogram: (F, C, bins) = volume(M @ |rfft|).
 
     One rFFT over the frame batch + one MXU matmul, replacing the reference's
-    per-frame fft() + sparse dot (audio/spectrogram.py:155-176)."""
-    frames = stft_frames(audio, offsets, fft_size, window)          # (F, C, N)
+    per-frame fft() + sparse dot (audio/spectrogram.py:155-176). With
+    upsample=r (sample_rateio), each frame reads fft_size//r raw samples and
+    sinc-upsamples them to fft_size before the taper — the reference's
+    libsamplerate step as one batched dilated conv."""
+    if upsample > 1:
+        frames = stft_frames(audio, offsets, fft_size // upsample, None)
+        frames = sinc_upsample(frames, upsample) * window[None, None, :]
+    else:
+        frames = stft_frames(audio, offsets, fft_size, window)      # (F, C, N)
     spectrum = magnitude(jnp.fft.rfft(frames, axis=-1))             # (F, C, N/2+1)
     banded = jnp.einsum("bn,fcn->fcb", matrix, spectrum.astype(jnp.float32),
                         preferred_element_type=jnp.float32)

@@ -89,3 +89,72 @@ def test_mel_scale_monotonic():
     assert np.all(np.diff(freqs) > 0)
     assert freqs[0] == pytest.approx(20)
     assert freqs[-1] == pytest.approx(8000)
+
+
+# -- windowed-sinc polyphase upsampling (sample_rateio) ----------------------
+
+def test_sinc_upsample_matches_scipy_resample_poly():
+    """Pin the polyphase sinc upsampler against scipy.signal.resample_poly
+    driven with the SAME filter coefficients (VERDICT r4 #7)."""
+    scipy_signal = pytest.importorskip("scipy.signal")
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    for factor in (2, 4):
+        # scipy multiplies an array window by `up` internally; sinc_kernel
+        # already carries the factor's DC gain, so hand scipy the unit-gain
+        # coefficients
+        h = spectral.sinc_kernel(factor)
+        ours = spectral.sinc_upsample(x, factor)
+        assert ours.shape == (2, 256 * factor)
+        ref = scipy_signal.resample_poly(x, factor, 1, axis=-1, window=h / factor)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_sinc_upsample_jax_matches_numpy():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((3, 2, 128)).astype(np.float32)
+    host = spectral.sinc_upsample(x, 4)
+    device = np.asarray(spectral.sinc_upsample(jnp.asarray(x), 4))
+    np.testing.assert_allclose(device, host, atol=1e-4)
+
+
+def test_sinc_upsample_tone_fidelity():
+    """A pure tone survives 4x upsampling with tiny interior error — the
+    quality bar linear interpolation fails (its error on this tone is ~1e-2)."""
+    sr, factor = 8000, 4
+    t = np.arange(1024) / sr
+    x = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)[None]
+    up = spectral.sinc_upsample(x, factor)[0]
+    t_up = np.arange(1024 * factor) / (sr * factor)
+    ideal = np.sin(2 * np.pi * 1000.0 * t_up)
+    interior = slice(64 * factor, -64 * factor)
+    error = np.max(np.abs(up[interior] - ideal[interior]))
+    assert error < 2e-3, f"sinc upsample interior error {error:.2e}"
+    linear = np.interp(t_up, t, x[0])
+    assert np.max(np.abs(linear[interior] - ideal[interior])) > 5e-3
+
+
+def test_spectrogram_batch_upsample_matches_cpu_path():
+    """Device precompute with upsample=r must agree with the realtime CPU
+    path (sinc upsample each raw window, taper, rfft, band matmul)."""
+    sr, fft_n, rateio = 8000, 8, 2
+    raw = 2 ** fft_n
+    fft_size = raw * rateio
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal((2, sr)).astype(np.float32)
+    window = spectral.hanning(fft_size).astype(np.float32)
+    freqs = spectral.scale_frequencies(100, 3000, 32)
+    df = (sr * rateio) / fft_size
+    matrix = spectral.band_matrix(freqs, fft_size // 2 + 1, df)
+
+    offsets = np.array([raw, 3 * raw], np.int32)
+    banded = np.asarray(spectral.spectrogram_batch(
+        jnp.asarray(audio), jnp.asarray(offsets), fft_size,
+        jnp.asarray(window), jnp.asarray(matrix), upsample=rateio))
+
+    for i, offset in enumerate(offsets):
+        chunk = audio[:, offset:offset + raw]
+        up = spectral.sinc_upsample(chunk, rateio)
+        spectrum = spectral.magnitude_power(np.fft.rfft(window * up))
+        expected = matrix @ spectrum.astype(np.float32).T  # (bins, C)
+        np.testing.assert_allclose(banded[i], expected.T, rtol=2e-3, atol=2e-3)
