@@ -22,6 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from shaderflow_tpu import logger
 from shaderflow_tpu.audio import BrokenAudio
 from shaderflow_tpu.module import ShaderModule
 from shaderflow_tpu.ops import spectral
@@ -115,7 +116,19 @@ class ShaderWaveform(ShaderModule):
             # object with zero eager device ops (texture.set_sequence)
             return bars[:, None, :, :]
 
-        return compute(jnp.asarray(full), jnp.asarray(ends.astype(np.int32)))
+        import time
+        audio_j = jnp.asarray(full)
+        ends_j = jnp.asarray(ends.astype(np.int32))
+        t0 = time.perf_counter()
+        compiled = compute.lower(audio_j, ends_j).compile()
+        t1 = time.perf_counter()
+        result = jax.block_until_ready(compiled(audio_j, ends_j))
+        t2 = time.perf_counter()
+        self.precompute_timings = {"compile": t1 - t0, "run": t2 - t1}
+        if t2 - t0 > 2.0:
+            logger.info(f"Waveform precompute: compile {t1 - t0:.1f}s + "
+                        f"run {t2 - t1:.1f}s")
+        return result
 
     def _precompute_cached(self):
         """Survive setup() across repeat runs (see spectrogram counterpart)."""
@@ -129,6 +142,10 @@ class ShaderWaveform(ShaderModule):
         self._precompute_key = key
         self._precompute_value = value
         return value
+
+    def prewarm(self) -> None:
+        if self.scene.freewheel:
+            self._precompute_cached()
 
     def update(self) -> None:
         self.texture.components = self.audio.channels

@@ -22,6 +22,7 @@ with the TPU-native execution model from SURVEY.md §7:
 from __future__ import annotations
 
 import os
+import time
 from typing import TYPE_CHECKING, Any, Optional
 
 import jax
@@ -125,6 +126,11 @@ class RenderEngine:
         # Optional multi-device frame sharding (parallel/mesh.py)
         self.mesh = None
         self._sharded_cache: dict = {}
+
+        # Cold-start accounting (tools/coldstart.py): (batch, seconds) per
+        # first-compile flush, and the last prelude-probe wall time
+        self.compile_events: list[tuple[int, float]] = []
+        self.probe_seconds: float = 0.0
 
     def invalidate(self) -> None:
         self.stale = True
@@ -535,21 +541,24 @@ class RenderEngine:
         prelude_fns = dict(self._prelude_fns)
         main_size, aspect = self._main_size, self._aspect
 
-        def _probe(sequences):
-            out = {}
-            for offset in (0, 7):
-                ctx = PreludeCtx(jnp.arange(2, dtype=jnp.int32) + offset,
-                                 sequences, main_size, aspect)
-                vals = {}
-                for name, fn in prelude_fns.items():
-                    value = fn(ctx)
-                    if value is not None and value.shape[0] == 1:
-                        vals[name] = value
-                out[offset] = vals
-            return out
+        # The frame offset is a TRACED argument so both probe evaluations
+        # (offset 0 and 7, see contract above) share one compile — the probe
+        # compiles the full-resolution prelude fns, which is the single
+        # biggest cold-start item after the render program itself.
+        def _probe(sequences, offset):
+            ctx = PreludeCtx(jnp.arange(2, dtype=jnp.int32) + offset,
+                             sequences, main_size, aspect)
+            vals = {}
+            for name, fn in prelude_fns.items():
+                value = fn(ctx)
+                if value is not None and value.shape[0] == 1:
+                    vals[name] = value
+            return vals
 
-        probed = jax.jit(_probe)(self._sequences)
-        base, shifted = probed[0], probed[7]
+        t0 = time.perf_counter()
+        probe_jit = jax.jit(_probe)
+        base = probe_jit(self._sequences, jnp.int32(0))
+        shifted = probe_jit(self._sequences, jnp.int32(7))
         for name, value in base.items():
             other = shifted.get(name)
             if (other is not None and other.shape == value.shape
@@ -558,6 +567,10 @@ class RenderEngine:
             else:
                 logger.debug(f"Prelude {name!r} depends on frame index "
                              f"values; left per-launch (not cached)")
+        self.probe_seconds = time.perf_counter() - t0
+        if self.probe_seconds > 2.0:
+            logger.info(f"Prelude probe: {self.probe_seconds:.1f}s "
+                        f"(compile + run, {len(base)} fields)")
 
     def capture_frame(self) -> None:
         """Snapshot the current frame's uniforms + dirty textures. Called
@@ -714,13 +727,17 @@ class RenderEngine:
         packed, spec, streams = self.stack_captures(count, pad_to)
 
         before = self._jitted._cache_size()
+        t0 = time.perf_counter()
         self._carry, frames_u8 = self._jitted(
             self._carry, packed, streams, self._static_tex, self._sequences, spec)
         if self._jitted._cache_size() != before:
+            took = time.perf_counter() - t0
+            self.compile_events.append((packed.shape[0], took))
             logger.info(f"Engine (re)traced: batch={packed.shape[0]} "
                         f"uniforms={packed.shape[1]} streams={sorted(streams)} "
                         f"sequences={sorted(self._sequences)} "
-                        f"(cache {before}->{self._jitted._cache_size()})")
+                        f"(cache {before}->{self._jitted._cache_size()}, "
+                        f"{took:.1f}s)")
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
 
     def _sharded(self, spec):

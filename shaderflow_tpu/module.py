@@ -76,6 +76,14 @@ class ShaderModule:
     def update(self) -> None:
         """Called once per frame on the host, before the batch renders."""
 
+    def prewarm(self) -> None:
+        """Export-time precompute hook: modules overriding this are called
+        CONCURRENTLY (worker threads, one per module) before the export
+        loop's first frame, so expensive device precomputes/compiles overlap
+        instead of serializing inside the first update(). Must be idempotent
+        and touch only this module's own state; update() re-checks and
+        reuses the cached result."""
+
     def pipeline(self) -> Iterable[ShaderVariable]:
         """Yield this module's uniforms for the current frame."""
         return []

@@ -308,6 +308,12 @@ class ShaderPiano(ShaderModule):
         self.key_press_dynamics.next(dt=dt)
         return roll, channels
 
+    def prewarm(self) -> None:
+        if (self.scene.freewheel and self.precompute
+                and (self.keys_texture.sequence is None
+                     or getattr(self, "_range_values", None) is None)):
+            self._precompute_sequences()
+
     def update(self) -> None:
         if self.scene.freewheel and self.precompute:
             if (self.keys_texture.sequence is None

@@ -460,6 +460,40 @@ class ShaderScene(ShaderModule):
 
     # -- export (freewheel) hot loop ----------------------------------------
 
+    def _prewarm_modules(self) -> None:
+        """Run every overridden module.prewarm() concurrently (one worker
+        thread each) before the first frame: the whole-file spectrogram
+        STFT, waveform bars and piano note-scan are each an independent
+        device compile, so overlapping them cuts the cold-start serial
+        chain (tools/coldstart.py breakdown; VERDICT r4 #2). JAX compiles
+        are thread-safe; each module writes only its own state; all joined
+        here before any update() reads the results."""
+        import threading
+        warmers = [m for m in self.modules
+                   if type(m).prewarm is not ShaderModule.prewarm]
+        if not warmers:
+            return
+        if len(warmers) == 1:
+            warmers[0].prewarm()
+            return
+        failures: list = []
+
+        def run(module: ShaderModule) -> None:
+            try:
+                module.prewarm()
+            except BaseException as error:  # re-raised on the main thread
+                failures.append(error)
+
+        threads = [threading.Thread(target=run, args=(m,), daemon=True,
+                                    name=f"prewarm-{type(m).__name__}")
+                   for m in warmers]
+        for thread in threads:
+            thread.start()
+        for thread in threads:
+            thread.join()
+        if failures:
+            raise failures[0]
+
     def default_batch_size(self) -> int:
         """Frames per device launch: larger batches amortize per-launch
         dispatch/transfer latency (significant on remote-attached devices);
@@ -474,6 +508,7 @@ class ShaderScene(ShaderModule):
                      start_frame: int = 0, devices: Optional[int] = None):
         total = export.total_frames
         size = int(batch or self.default_batch_size())
+        self._prewarm_modules()
 
         self.engine.mesh = None
         if devices and devices > 1:
