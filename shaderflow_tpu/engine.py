@@ -740,6 +740,23 @@ class RenderEngine:
                         f"{took:.1f}s)")
         return frames_u8[:count] if (pad_to and pad_to > count) else frames_u8
 
+    def cost_analysis(self, count: Optional[int] = None,
+                      pad_to: Optional[int] = None) -> dict:
+        """XLA's compiled cost model for the current batch's render program
+        (flops / bytes accessed per BATCH): the raw material for the roofline
+        table (tools/roofline.py). Pallas custom calls are opaque to XLA's
+        model — the tool adds their analytic traffic on top. Mirrors the
+        non-sharded flush() argument layout."""
+        count = count if count is not None else len(self._frame_uniforms)
+        packed, spec, streams = self.stack_captures(count, pad_to)
+        lowered = self._jitted.lower(
+            self._carry, packed, streams, self._static_tex, self._sequences,
+            spec)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):  # per-device list on old jax
+            analysis = analysis[0]
+        return dict(analysis or {})
+
     def _sharded(self, spec):
         """Cached frame-sharded wrapper of the current render closure."""
         key = (id(self._render_fn), spec)

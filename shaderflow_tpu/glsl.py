@@ -49,6 +49,12 @@ class GlslError(Exception):
     pass
 
 
+class _LowerUnsupported(Exception):
+    """Internal: a loop body needs python-time values (temporal texture
+    indices, dynamic-store indices, non-arrayable carried state) and cannot
+    be lowered to lax.while_loop — fall back to trace-time unrolling."""
+
+
 # =========================================================================== #
 # Lexer + preprocessor
 
@@ -494,23 +500,29 @@ class _Env:
 
 
 def _mask_and(a, b):
+    """None = all lanes; False = no lanes; True = all lanes; else array."""
     if a is None:
         return b
     if b is None:
         return a
-    if isinstance(a, bool) and isinstance(b, bool):
-        return a and b
+    if a is False or b is False:
+        return False
+    if a is True:
+        return b
+    if b is True:
+        return a
     return jnp.logical_and(a, b)
 
 
 def _mask_andnot(a, b):
-    """a & ~b (b None -> a)."""
+    """a & ~b (b None/False -> a)."""
+    if a is False:
+        return False
     if b is None or b is False:
         return a
     if b is True:
         return False
-    inv = jnp.logical_not(b)
-    return inv if a is None else _mask_and(a, inv)
+    return _mask_and(a, jnp.logical_not(b))
 
 
 def _mask_or(a, b):
@@ -521,22 +533,102 @@ def _mask_or(a, b):
     return jnp.logical_or(a, b)
 
 
+def _sticky_or(current, addition):
+    """Accumulate a sticky flag mask: current is False (never taken),
+    True (taken everywhere) or an array; addition is None (taken under the
+    full active set), True or an array."""
+    if addition is None or addition is True or current is True:
+        return True
+    if current is False:
+        return addition if addition is not False else False
+    if addition is False:
+        return current
+    return jnp.logical_or(current, addition)
+
+
+def _as_mask_arr(mask):
+    """Flow mask (None/bool/array) -> a concrete bool array for a carry."""
+    if mask is None or mask is True:
+        return jnp.ones((), bool)
+    if mask is False:
+        return jnp.zeros((), bool)
+    return jnp.asarray(mask, bool)
+
+
+def _kind_dtype(kind: str):
+    """Carry dtype for a GLSL kind; None = not lowerable (sampler/camera)."""
+    if kind == "float" or kind.startswith("vec") or kind in _MAT_SIZE \
+            or kind == "array:float":
+        return jnp.float32
+    if kind in ("int", "uint") or kind.startswith(("ivec", "uvec")) \
+            or kind == "array:int":
+        return jnp.int32
+    if kind == "bool" or kind.startswith("bvec"):
+        return jnp.bool_
+    return None
+
+
+def _add_store_target(target, out: set) -> None:
+    while target[0] in ("member", "index"):
+        target = target[1]
+    if target[0] == "ident":
+        out.add(target[1])
+
+
+def _collect_mutated(node, out: set) -> None:
+    """All identifiers the AST can store into (assignment/inc-dec targets)."""
+    if isinstance(node, tuple):
+        kind = node[0] if node and isinstance(node[0], str) else None
+        if kind == "assign":
+            _add_store_target(node[2], out)
+        elif kind in ("prefix", "postfix"):
+            _add_store_target(node[2], out)
+        for child in node[1:] if kind else node:
+            _collect_mutated(child, out)
+    elif isinstance(node, list):
+        for child in node:
+            _collect_mutated(child, out)
+
+
+def _expr_is_pure(node) -> bool:
+    """No stores / no user-call opacity: safe to pre-evaluate a condition.
+    Builtin calls (length, dot, ...) are pure; user calls are opaque."""
+    if isinstance(node, tuple):
+        kind = node[0] if node and isinstance(node[0], str) else None
+        if kind in ("assign", "prefix", "postfix", "comma"):
+            return False
+        if kind == "call":
+            callee = node[1]
+            if callee[0] != "ident" or callee[1] not in _BUILTINS:
+                return False
+            return all(_expr_is_pure(arg) for arg in node[2])
+        return all(_expr_is_pure(child) for child in (node[1:] if kind else node))
+    if isinstance(node, list):
+        return all(_expr_is_pure(child) for child in node)
+    return True
+
+
 class _Flow:
     """Per-frame control-flow state: the active mask plus sticky
-    return/discard masks (False = not taken, True = taken everywhere,
-    array = per-pixel)."""
+    return/break/continue/discard masks (False = not taken, True = taken
+    everywhere, array = per-pixel)."""
 
     def __init__(self):
         self.mask = None          # None = fully active
         self.returned = False
+        self.break_mask = False
+        self.continue_mask = False
         self.ret_value: Optional[GV] = None
         self.discarded = False
 
     def active(self):
-        return _mask_andnot(self.mask, self.returned)
+        m = _mask_andnot(self.mask, self.returned)
+        m = _mask_andnot(m, self.break_mask)
+        return _mask_andnot(m, self.continue_mask)
 
     def fully_inactive(self) -> bool:
-        return self.returned is True
+        return (self.returned is True or self.break_mask is True
+                or self.continue_mask is True)
 
 
 class Interpreter:
@@ -605,37 +697,21 @@ class Interpreter:
                     flow.ret_value = value
                 else:
                     flow.ret_value = self._merge(flow.ret_value, value, active)
-            flow.returned = (True if active is None
-                             else _mask_or(flow.returned if flow.returned is not False
-                                           else jnp.zeros((), bool) == 1, active)
-                             if not isinstance(flow.returned, bool) or flow.returned
-                             else (active if not isinstance(active, bool) else active))
+            flow.returned = _sticky_or(flow.returned, active)
         elif op == "break":
-            active = flow.active()
-            flow.break_mask = (True if active is None else
-                               active if flow.break_mask is False else
-                               _mask_or(flow.break_mask, active))
+            flow.break_mask = _sticky_or(flow.break_mask, flow.active())
         elif op == "continue":
-            active = flow.active()
-            flow.continue_mask = (True if active is None else
-                                  active if flow.continue_mask is False else
-                                  _mask_or(flow.continue_mask, active))
+            flow.continue_mask = _sticky_or(flow.continue_mask, flow.active())
         elif op == "discard":
             active = flow.active()
-            flow.discarded = (True if active is None else
-                              active if flow.discarded is False else
-                              _mask_or(flow.discarded, active))
-            # discard terminates the invocation like return
-            flow.returned = (True if active is None else
-                             active if flow.returned is False else
-                             _mask_or(flow.returned, active))
+            flow.discarded = _sticky_or(flow.discarded, active)
+            flow.returned = _sticky_or(flow.returned, active)
         else:
             raise GlslError(f"{self.origin}: unhandled statement {op!r}")
 
     def exec_block(self, block, env: _Env, flow: _Flow) -> None:
         for stmt in block[1]:
-            if flow.fully_inactive() or getattr(flow, "break_mask", False) is True \
-                    or getattr(flow, "continue_mask", False) is True:
+            if flow.fully_inactive():
                 return
             self.exec_stmt(stmt, env, flow)
 
@@ -657,15 +733,51 @@ class Interpreter:
             self.exec_stmt(otherwise, _Env(env), flow)
         flow.mask = saved
 
+    # Loops with at most this many statically-counted trips unroll at trace
+    # time (constant folding, python temporal indices keep working); bigger
+    # or data-dependent loops lower to ONE lax.while_loop whose body is
+    # traced once — raymarch-style 100-step marches compile in seconds
+    # instead of exploding the XLA graph, and exit as soon as every lane
+    # broke (true early-out, which unrolling can never do).
+    UNROLL_LIMIT = 32
+
     def exec_for(self, stmt, env: _Env, flow: _Flow) -> None:
         _, init, cond_ast, step, body = stmt
         loop_env = _Env(env)
         self.exec_stmt(init, loop_env, flow)
 
         trips = self._shadow_trip_count(stmt, loop_env)
+        if trips is None or trips > self.UNROLL_LIMIT:
+            cond_is_python = True
+            if trips is None and cond_ast is not None \
+                    and _expr_is_pure(cond_ast):
+                probe = self.eval(cond_ast, loop_env, flow)
+                cond_is_python = probe.is_python
+            if trips is not None or not cond_is_python:
+                try:
+                    self._exec_for_lowered(stmt, loop_env, flow, trips)
+                    return
+                except _LowerUnsupported:
+                    if trips is None:
+                        raise GlslError(
+                            f"{self.origin}: data-dependent loop needs "
+                            "python-time values in its body and cannot be "
+                            "unrolled either") from None
+        self._exec_for_unrolled(stmt, loop_env, flow, trips)
+
+    def _exec_for_unrolled(self, stmt, loop_env: _Env, flow: _Flow,
+                           trips: Optional[int]) -> None:
+        _, init, cond_ast, step, body = stmt
         saved_mask = flow.mask
-        break_saved = getattr(flow, "break_mask", False)
+        break_saved = flow.break_mask
+        continue_saved = flow.continue_mask
+        # Lanes sitting out the enclosing scope (outer break/continue) must
+        # stay inactive for this whole loop; `returned` is sticky on the flow
+        # itself so active() keeps excluding it.
+        entry_mask = _mask_andnot(_mask_andnot(saved_mask, break_saved),
+                                  continue_saved)
         flow.break_mask = False
+        flow.continue_mask = False
         iteration = 0
         while True:
             if trips is not None and iteration >= trips:
@@ -677,20 +789,22 @@ class Interpreter:
             if cond.is_python:
                 if not cond.data:
                     break
-                flow.mask = _mask_andnot(saved_mask, flow.break_mask)
+                flow.mask = _mask_andnot(entry_mask, flow.break_mask)
             else:
                 flow.mask = _mask_andnot(
-                    _mask_and(saved_mask, jnp.asarray(cond.data, bool)),
+                    _mask_and(entry_mask, jnp.asarray(cond.data, bool)),
                     flow.break_mask)
-            if flow.break_mask is True:
+            if flow.break_mask is True or flow.returned is True:
                 break
             flow.continue_mask = False
             self.exec_stmt(body, _Env(loop_env), flow)
-            flow.mask = _mask_andnot(flow.mask, getattr(flow, "continue_mask", False))
+            # `continue` jumps to the step expression: continued lanes rejoin
+            # here; broken/returned lanes stay excluded via active().
+            flow.continue_mask = False
             if step is not None:
                 self.eval(step, loop_env, flow)
             iteration += 1
-        flow.continue_mask = False
+        flow.continue_mask = continue_saved
         flow.break_mask = break_saved
         flow.mask = saved_mask
 
@@ -782,6 +896,181 @@ class Interpreter:
             if "65536" in str(error):
                 raise
             return None  # fall back to live python-evaluable condition
+
+    # ------------------------------------------------------------------ #
+    # lax.while_loop lowering: big/data-dependent loops trace their body
+    # ONCE. The mutated variables + the sticky flow masks form the carry;
+    # per-lane `break`/`return`/condition failure drop lanes out of the
+    # active mask, and the loop exits as soon as no lane is active.
+
+    def _exec_for_lowered(self, stmt, loop_env: _Env, flow: _Flow,
+                          trips: Optional[int]) -> None:
+        import jax
+        from jax import lax
+        _, _init, cond_ast, step, body = stmt
+
+        saved_mask = flow.mask
+        break_saved = flow.break_mask
+        continue_saved = flow.continue_mask
+        entry_mask = _mask_andnot(_mask_andnot(saved_mask, break_saved),
+                                  continue_saved)
+
+        mutated: set = set()
+        _collect_mutated(body, mutated)
+        if step is not None:
+            _collect_mutated(step, mutated)
+        if cond_ast is not None:
+            _collect_mutated(cond_ast, mutated)
+        carried: dict[str, GV] = {}
+        for name in sorted(mutated):
+            owner = loop_env.owner(name)
+            if owner is None:
+                continue  # declared inside the body: loop-local
+            gv = owner.vars[name]
+            if _kind_dtype(gv.kind) is None:
+                raise _LowerUnsupported(f"cannot carry {gv.kind} {name!r}")
+            carried[name] = gv
+
+        ret_kind = [flow.ret_value.kind if flow.ret_value is not None else None]
+        cap = trips if trips is not None else 65536
+
+        def materialize(carry):
+            """Write carry into the owner envs; -> restore list."""
+            originals = []
+            for name, gv in carried.items():
+                owner = loop_env.owner(name)
+                originals.append((owner, name, owner.vars[name]))
+                owner.vars[name] = GV(gv.kind, carry["v:" + name])
+            return originals
+
+        def make_flow(carry) -> _Flow:
+            f = _Flow()
+            f.mask = entry_mask
+            f.returned = carry["_ret"]
+            f.break_mask = carry["_brk"]
+            f.discarded = carry["_dis"]
+            if "_rv" in carry and ret_kind[0] is not None:
+                f.ret_value = GV(ret_kind[0], carry["_rv"])
+            return f
+
+        def eval_cond_mask(f: _Flow):
+            if cond_ast is None:
+                return None
+            cond = self.eval(cond_ast, loop_env, f)
+            if cond.is_python:
+                return None if cond.data else False
+            return jnp.asarray(cond.data, bool)
+
+        def cond_fn(carry):
+            originals = materialize(carry)
+            try:
+                f = make_flow(carry)
+                active = _mask_and(entry_mask, eval_cond_mask(f))
+                active = _mask_andnot(active, carry["_ret"])
+                active = _mask_andnot(active, carry["_brk"])
+            finally:
+                for owner, name, gv in originals:
+                    owner.vars[name] = gv
+            if active is None:
+                any_active = jnp.asarray(True)
+            elif active is False:
+                any_active = jnp.asarray(False)
+            else:
+                any_active = jnp.any(active)
+            return jnp.logical_and(any_active, carry["_it"] < cap)
+
+        def body_fn(carry):
+            originals = materialize(carry)
+            try:
+                f = make_flow(carry)
+                cond_mask = eval_cond_mask(f)
+                f.mask = _mask_and(entry_mask, cond_mask)
+                f.continue_mask = False
+                self.exec_stmt(body, _Env(loop_env), f)
+                # `continue` rejoins at the step expression (C semantics)
+                f.continue_mask = False
+                if step is not None:
+                    self.eval(step, loop_env, f)
+                out = {"_it": carry["_it"] + 1,
+                       "_ret": _as_mask_arr(f.returned),
+                       "_brk": _as_mask_arr(f.break_mask),
+                       "_dis": _as_mask_arr(f.discarded)}
+                if f.ret_value is not None:
+                    ret_kind[0] = f.ret_value.kind
+                    out["_rv"] = jnp.asarray(f.ret_value.data,
+                                             _kind_dtype(f.ret_value.kind))
+                for name, gv in carried.items():
+                    live = loop_env.owner(name).vars[name]
+                    if live.kind != gv.kind:
+                        raise _LowerUnsupported(
+                            f"{name!r} changed kind {gv.kind}->{live.kind}")
+                    out["v:" + name] = jnp.asarray(live.data,
+                                                   _kind_dtype(gv.kind))
+            finally:
+                for owner, name, gv in originals:
+                    owner.vars[name] = gv
+            return out
+
+        carry = {"_it": jnp.asarray(0, jnp.int32),
+                 "_ret": _as_mask_arr(flow.returned),
+                 "_brk": _as_mask_arr(False),
+                 "_dis": _as_mask_arr(flow.discarded)}
+        if flow.ret_value is not None:
+            carry["_rv"] = jnp.asarray(flow.ret_value.data,
+                                       _kind_dtype(flow.ret_value.kind))
+        for name, gv in carried.items():
+            carry["v:" + name] = jnp.asarray(gv.data, _kind_dtype(gv.kind))
+
+        # get_camera caches per-trace rays; anything it caches inside the
+        # abstract/while traces below would leak those traces' tracers.
+        camera_cache = dict(self.sf._camera_cache)
+        try:
+            # Fixed-point the carry structure: masked merges broadcast
+            # scalars up to (H, W) planes, the first `return` adds the _rv
+            # slot — eval_shape (abstract, no FLOPs) discovers the stable
+            # shapes, then the real while_loop runs with an exact carry.
+            for _ in range(4):
+                try:
+                    spec = jax.eval_shape(body_fn, carry)
+                except (GlslError, TypeError, ValueError) as error:
+                    raise _LowerUnsupported(str(error)) from None
+                stable = True
+                for key, leaf_spec in spec.items():
+                    old = carry.get(key)
+                    if old is None:
+                        carry[key] = jnp.zeros(leaf_spec.shape, leaf_spec.dtype)
+                        stable = False
+                    elif (jnp.shape(old) != leaf_spec.shape
+                          or jnp.asarray(old).dtype != leaf_spec.dtype):
+                        try:
+                            carry[key] = jnp.broadcast_to(
+                                jnp.asarray(old, leaf_spec.dtype),
+                                leaf_spec.shape)
+                        except (TypeError, ValueError) as error:
+                            raise _LowerUnsupported(str(error)) from None
+                        stable = False
+                if stable:
+                    break
+            else:
+                raise _LowerUnsupported("carry never stabilized")
+
+            try:
+                final = lax.while_loop(cond_fn, body_fn, carry)
+            except (GlslError, TypeError, ValueError) as error:
+                raise _LowerUnsupported(str(error)) from None
+        finally:
+            self.sf._camera_cache.clear()
+            self.sf._camera_cache.update(camera_cache)
+
+        for name, gv in carried.items():
+            loop_env.owner(name).vars[name] = GV(gv.kind, final["v:" + name])
+        flow.returned = final["_ret"]
+        flow.discarded = final["_dis"]
+        if "_rv" in final and ret_kind[0] is not None:
+            flow.ret_value = GV(ret_kind[0], final["_rv"])
+        flow.break_mask = break_saved
+        flow.continue_mask = continue_saved
+        flow.mask = saved_mask
 
     # ------------------------------------------------------------------ #
     # Stores
@@ -942,6 +1231,8 @@ class Interpreter:
             return GV("vec2", getattr(sf, name))
         if name == "sgluv":
             return GV("vec2", sf.gluv)
+        if name in ("instance", "gl_InstanceID"):
+            return GV("int", sf.instance)  # vertex/default.glsl:5
         # uniforms
         uniform = sf._uniforms.get(name, sf._statics.get(name))
         if uniform is not None:
@@ -976,6 +1267,10 @@ class Interpreter:
         if m and m.group(1) in sf._textures:
             return GV("sampler", sf.tex(m.group(1), temporal=int(m.group(2)),
                                         layer=int(m.group(3))))
+        # `iTexT` alias = temporal T, last layer (reference texture.py:359-360)
+        m = re.fullmatch(r"(\w+?)(\d+)", name)
+        if m and m.group(1) in sf._textures:
+            return GV("sampler", sf.tex(m.group(1), temporal=int(m.group(2))))
         return None
 
     # -- operators ---------------------------------------------------------
@@ -1171,15 +1466,18 @@ class Interpreter:
         if name in self.functions:
             return self.call_user(self.functions[name], args)
 
-        # <Name>Texture(t, l, uv) metaprogrammer accessors
+        # <Name>Texture(t, l, uv) metaprogrammer accessors: plain texture()
+        # on the (t, l) box (reference texture.py:363-367)
         m = re.fullmatch(r"(\w+?)Texture", name)
         if m and m.group(1) in self.sf._textures:
             t, layer, uv = args
-            if not t.is_python and jnp.asarray(t.data).ndim == 0:
-                t = GV("int", int(t.data))  # concrete trace-time constant
+            if not (t.is_python and layer.is_python):
+                raise GlslError(
+                    f"{self.origin}: {name}(t, l, uv) needs statically "
+                    "countable t/l (a python loop counter or literal)")
             sampler = self.sf.tex(m.group(1), temporal=int(t.data),
                                   layer=int(layer.data))
-            return self._sample(GV("sampler", sampler), uv)
+            return self._pad_vec4(ops.sample(sampler, jnp.asarray(uv.data)))
 
         builtin = _BUILTINS.get(name)
         if builtin is not None:
@@ -1392,12 +1690,14 @@ def _bi_agtexture(interp: Interpreter, args: list[GV]) -> GV:
 
 
 def _bi_rotate2d(interp: Interpreter, args: list[GV]) -> GV:
+    # shaderflow.glsl:75 mat2(c,-s,s,c) is COLUMN-major: columns (c,-s),(s,c)
+    # -> the (row, col) matrix is [[c, s], [-s, c]]
     angle = args[0].data
     cos = jnp.cos(angle) if not args[0].is_python else math.cos(angle)
     sin = jnp.sin(angle) if not args[0].is_python else math.sin(angle)
     row0 = jnp.stack([jnp.asarray(cos, jnp.float32),
-                      jnp.asarray(-sin, jnp.float32)], axis=-1)
-    row1 = jnp.stack([jnp.asarray(sin, jnp.float32),
+                      jnp.asarray(sin, jnp.float32)], axis=-1)
+    row1 = jnp.stack([jnp.asarray(-sin, jnp.float32),
                       jnp.asarray(cos, jnp.float32)], axis=-1)
     return GV("mat2", jnp.stack([row0, row1], axis=-2))
 

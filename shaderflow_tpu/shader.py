@@ -391,7 +391,16 @@ class ShaderProgram(ShaderModule):
 
     @staticmethod
     def _load_source(source: str, origin: str) -> PixelFunction:
-        """Execute python shader source; it must define main(sf)."""
+        """Resolve shader source text into a pixel function.
+
+        Two authoring formats (reference shader.py:186-239 assembles GLSL;
+        this repo's native format is python pixel functions): GLSL sources
+        (`void main()`, typically `.frag`/`.glsl` files — the reference's
+        authoring format, runnable as-is) compile through the glsl front-end;
+        python sources (`def main(sf)`) are exec'd."""
+        from shaderflow_tpu import glsl
+        if glsl.looks_like_glsl(source):
+            return glsl.compile_fragment(source, origin)
         namespace: dict[str, Any] = {}
         exec(compile(source, origin, "exec"), namespace)
         main = namespace.get("main")

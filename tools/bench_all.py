@@ -80,6 +80,31 @@ def main() -> None:
     (REPO / "BENCHMARKS.md").write_text("\n".join(lines))
     print(f"Wrote {REPO / 'BENCHMARKS.md'}", file=sys.stderr)
 
+    # Machine-readable artifact at the same commit (VERDICT r4 #1): one
+    # dated JSON carrying every graded config from one serialized session.
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                cwd=REPO, capture_output=True,
+                                text=True).stdout.strip()
+    except OSError:
+        commit = "unknown"
+    payload = {
+        "measured_at": stamp,
+        "commit": commit,
+        "device": device,
+        "configs": [
+            {"name": name, "target_x": target,
+             **({"fps": result["value"],
+                 "realtime_x": result["detail"]["realtime_multiple"],
+                 "vs_target": round(result["detail"]["realtime_multiple"]
+                                    / target, 3)}
+                if result else {"error": "failed"})}
+            for name, result, target in rows
+        ],
+    }
+    (REPO / "BENCHMARKS.json").write_text(json.dumps(payload, indent=1))
+    print(f"Wrote {REPO / 'BENCHMARKS.json'}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
