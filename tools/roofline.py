@@ -106,7 +106,7 @@ def measure(name: str, rounds: int = 4) -> dict:
         "config": name,
         **{k: cfg[k] for k in ("width", "height", "fps", "ssaa", "batch")},
         "ms_per_frame": round(s_per_frame * 1e3, 3),
-        "fps": round(1.0 / s_per_frame, 1),
+        "export_fps": round(1.0 / s_per_frame, 1),
         "gflop_per_frame": round(flops / 1e9, 3),
         "gbytes_per_frame": round(bytes_acc / 1e9, 4),
         "achieved_gbps": round(bytes_acc / s_per_frame / 1e9, 1),
