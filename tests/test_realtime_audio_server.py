@@ -15,8 +15,10 @@ thread delivering correctly-paced blocks). This test therefore always runs
 here — it FAILS, not skips, if no backend can open a device.
 """
 
+import os
 import shutil
 import subprocess
+import sys
 import time
 
 import numpy as np
@@ -98,3 +100,57 @@ def test_recorder_device_listing_nonempty():
     devices = list(BrokenAudio.recorders()) + list(BrokenAudio.speakers())
     assert devices, "no audio devices enumerable through any backend"
     assert all(hasattr(d, "name") for d in devices)
+
+
+_DISK_PLAYER = r"""
+import os, sys
+import numpy as np
+from shaderflow_tpu.audio.sdlaudio import default_speaker
+import pygame
+
+sp = default_speaker()
+with sp.player(samplerate=44100, channels=1) as player:
+    t = np.arange(22050, dtype=np.float32) / 44100.0
+    player.play(0.8 * np.sin(2 * np.pi * 1000.0 * t))
+    player.drain()
+rate, size, channels = pygame.mixer.get_init()
+pygame.mixer.quit()   # closes the disk device -> flushes the file
+print(f"MIXER {rate} {size} {channels}")
+"""
+
+
+def test_playback_content_via_disk_driver(tmp_path):
+    """The played STREAM carries the right audio (loopback-of-what's-playing,
+    VERDICT r4 #9 / ROADMAP backlog #4).
+
+    This environment has no sound server to loop through — no pulseaudio/
+    pipewire binaries, no libpulse/libasound in the image (probed 2026-08-19)
+    and installs are prohibited — so the dummy driver keeps pacing honest but
+    discards content. SDL's `disk` driver closes that last gap: the mixer's
+    real output stream is written to a file, i.e. a capture of exactly what
+    the device played. Assert the 1 kHz tone round-trips spectrally."""
+    capture = tmp_path / "played.raw"
+    env = dict(os.environ,
+               SHADERFLOW_SDL_AUDIODRIVER="disk",
+               SDL_DISKAUDIOFILE=str(capture),
+               SDL_DISKAUDIODELAY="1")
+    proc = subprocess.run([sys.executable, "-c", _DISK_PLAYER], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("MIXER"))
+    rate, size, channels = map(int, line.split()[1:])
+
+    blob = np.fromfile(capture, dtype=np.int16 if abs(size) == 16
+                       else np.float32)
+    assert blob.size > 0, "disk driver wrote no audio"
+    mono = blob.reshape(-1, channels).mean(axis=1).astype(np.float64)
+    if abs(size) == 16:
+        mono /= 32767.0
+    # The stream includes leading/trailing device silence; the tone must
+    # still dominate the spectrum at 1 kHz
+    spectrum = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(mono.size, 1.0 / rate)
+    peak = freqs[int(np.argmax(spectrum))]
+    assert abs(peak - 1000.0) < 25.0, f"peak at {peak:.1f} Hz, wanted 1 kHz"
+    # And with real energy (not numerical dust off silence)
+    assert float(np.sqrt(np.mean(mono ** 2))) > 0.05
