@@ -4,9 +4,14 @@ CLI launcher: `<file> <Scene> main --flags`.
 Role-equivalent of the reference's cyclopts/parsenaut launcher
 (/root/reference/shaderflow/__main__.py + scene.py:200-215): discovers
 ShaderScene subclasses, builds an argument parser from Scene.main's
-signature (so the flag surface IS the method signature), and exposes
-encoder selection (the reference's chainable codec subcommands) as
---vcodec/--acodec options applied to the scene's FFmpeg builder.
+signature (so the flag surface IS the method signature), and exposes the
+reference's CHAINABLE codec/filter subcommand grammar (ffmpeg.py:954-1006):
+
+    Scene main -o out.mkv h264 --crf 18 --preset fast aac --bitrate 192k
+
+Each subcommand's flags derive from the codec constructor's signature
+(io/ffmpeg.py), so the CLI surface IS the builder API; --vcodec/--acodec
+flags remain as a compact alternative spelling.
 """
 
 from __future__ import annotations
@@ -46,6 +51,106 @@ VCODEC_OPTIONS = {
     "av1_nvenc": ("cq", "preset"),
 }
 ACODEC_OPTIONS = {"aac": ("bitrate",), "mp3": ("bitrate",), "opus": ("bitrate",)}
+
+# Reference subcommand spellings that differ from the builder method names
+# (ffmpeg.py:954-1006 registers acopy/anone/aempty and dashed video names)
+_CHAIN_ALIASES = {"acopy": "copy_audio", "anone": "no_audio",
+                  "aempty": "empty_audio", "vcopy": "copy_video",
+                  "vnone": "no_video"}
+
+
+def _chain_registry() -> dict:
+    """Chainable subcommand name -> (FFmpeg builder method, option-signature
+    source). The reference registers its codec classes as composable cyclopts
+    subcommands after `main` (ffmpeg.py:954-1006); here the same grammar —
+    `Scene main -o out.mkv h264 --crf 18 aac --bitrate 192k scale --width
+    1280` — derives each subcommand's flags from the codec constructor's
+    signature, so the option surface IS the builder API."""
+    from shaderflow_tpu.io import ffmpeg as ffm
+    registry: dict[str, tuple[str, object]] = {}
+    for name, ctor in (
+            ("h264", ffm.H264), ("h264_nvenc", ffm.H264_NVENC),
+            ("h264_qsv", ffm.H264_QSV), ("h264_amf", ffm.H264_AMF),
+            ("h265", ffm.H265), ("h265_nvenc", ffm.H265_NVENC),
+            ("h265_qsv", ffm.H265_QSV), ("h265_amf", ffm.H265_AMF),
+            ("av1_svt", ffm.AV1_SVT), ("av1_rav1e", ffm.AV1_RAV1E),
+            ("av1_nvenc", ffm.AV1_NVENC), ("rawvideo", ffm.Rawvideo),
+            ("copy_video", ffm.CopyVideo), ("no_video", ffm.NoVideo),
+            ("aac", ffm.AAC), ("mp3", ffm.MP3), ("opus", ffm.Opus),
+            ("flac", ffm.FLAC), ("pcm", ffm.PCM),
+            ("copy_audio", ffm.CopyAudio), ("no_audio", ffm.NoAudio),
+            ("empty_audio", ffm.EmptyAudio)):
+        registry[name] = (name, ctor)
+    # Filters chain the same way; their signatures live on the builder
+    for name in ("scale", "vflip"):
+        registry[name] = (name, getattr(ffm.FFmpeg, name))
+    return registry
+
+
+def _normalize_chain(token: str) -> str:
+    name = token.replace("-", "_")
+    return _CHAIN_ALIASES.get(name, name)
+
+
+def _split_chained(argv: list[str], registry: dict) -> tuple[list, list]:
+    """Split `main` argv at chainable subcommand names: flags before the
+    first command name belong to main; each command owns the flags that
+    follow it until the next command name."""
+    main_argv: list[str] = []
+    segments: list[list[str]] = []
+    expect_value = False
+    for token in argv:
+        # A flag's separated value is never read as a command name
+        # (`--vcodec h264` stays a flag pair). Known limitation shared
+        # with the reference's chained grammar: a BOOLEAN flag directly
+        # followed by a command name also pairs — write bool flags last
+        # or use --flag=value forms when mixing.
+        if (not token.startswith("-") and not expect_value
+                and _normalize_chain(token) in registry):
+            segments.append([token])
+            expect_value = False
+            continue
+        (segments[-1] if segments else main_argv).append(token)
+        expect_value = token.startswith("-") and "=" not in token
+    return main_argv, segments
+
+
+def _chain_parser(display: str, source) -> argparse.ArgumentParser:
+    """Derive a subcommand parser from a codec constructor / builder method
+    signature (VAR_KEYWORD passthroughs excluded: the CLI surface is the
+    documented options, matching the reference's typed codec classes)."""
+    parser = argparse.ArgumentParser(prog=display, description=inspect.getdoc(source))
+    signature = inspect.signature(source, eval_str=True)
+    for name, parameter in signature.parameters.items():
+        if name == "self" or parameter.kind in (
+                inspect.Parameter.VAR_KEYWORD, inspect.Parameter.VAR_POSITIONAL):
+            continue
+        default = parameter.default
+        if default is inspect.Parameter.empty:
+            default = None
+        annotation = parameter.annotation
+        candidates = ((annotation,) if typing.get_origin(annotation) is None
+                      else typing.get_args(annotation))
+        kind = next((c for c in candidates if c in (int, float, str)), None)
+        if kind is None:
+            kind = type(default) if isinstance(default, (int, float)) else str
+        parser.add_argument(f"--{name}", dest=name, type=kind, default=default)
+    return parser
+
+
+def apply_chained(scene, segments: list) -> bool:
+    """Run the chained codec/filter subcommands against the scene's FFmpeg
+    builder; False (after a loud message) on a bad option."""
+    registry = _chain_registry()
+    for segment in segments:
+        method, source = registry[_normalize_chain(segment[0])]
+        parser = _chain_parser(segment[0], source)
+        try:
+            options = vars(parser.parse_args(segment[1:]))
+        except SystemExit:
+            return False
+        getattr(scene.ffmpeg, method)(**options)
+    return True
 
 
 def _add_main_flags(parser: argparse.ArgumentParser) -> None:
@@ -115,9 +220,15 @@ def launch(scenes: Sequence[type], argv: Optional[list[str]] = None):
     if command != "main":
         return _run_module_command(names[scene_name], command, argv)
 
+    registry = _chain_registry()
+    argv, chained = _split_chained(argv, registry)
+
     parser = argparse.ArgumentParser(
         prog=f"{scene_name} main",
         description=inspect.getdoc(names[scene_name]),
+        epilog="Chainable encoder/filter subcommands (reference grammar): "
+               "append e.g. `h264 --crf 18 aac --bitrate 192k scale "
+               f"--width 1280`. Available: {', '.join(sorted(registry))}",
         add_help=False,
     )
     parser.add_argument("--help", action="help")
@@ -159,6 +270,8 @@ def launch(scenes: Sequence[type], argv: Optional[list[str]] = None):
                 return None
             extra["bitrate"] = codec_flags["bitrate"]
         getattr(scene.ffmpeg, acodec)(**extra)
+    if not apply_chained(scene, chained):
+        return None
     return scene.main(**options)
 
 

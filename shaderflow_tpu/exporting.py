@@ -94,7 +94,12 @@ class ExportingHelper:
     # -- FFmpeg command configuration ----------------------------------------
 
     def ffmpeg_clean(self) -> None:
-        self.ffmpeg.clear(video_codec=False, audio_codec=False)
+        # User-composed filters (CLI chained `scale`/`vflip`, build() hooks)
+        # survive across exports; only the exporter's OWN size adapter is
+        # dropped (it re-derives per export below)
+        self.ffmpeg.filters = [f for f in self.ffmpeg.filters
+                               if not getattr(f, "_exporter_added", False)]
+        self.ffmpeg.clear(video_codec=False, audio_codec=False, filters=False)
 
     def ffmpeg_sizes(self, width: int, height: int) -> None:
         """Pipe rawvideo at the scene output size; scale only if the encode
@@ -109,6 +114,7 @@ class ExportingHelper:
         )
         if (width, height) != (scene.width, scene.height):
             self.ffmpeg.scale(width=width, height=height)
+            self.ffmpeg.filters[-1]._exporter_added = True
 
     def ffmpeg_output(self, output: Union[Path, str]) -> None:
         if output in ("pipe", "-", bytes):

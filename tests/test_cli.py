@@ -35,6 +35,65 @@ def test_vcodec_option_validation(tmp_path, caplog):
     assert not out.exists()
 
 
+def test_chained_codec_subcommands(tmp_path):
+    """Reference grammar (ffmpeg.py:954-1006): codec/filter subcommands
+    chain after `main`, each owning its flags until the next command."""
+    out = tmp_path / "o.rgb"
+    captured = {}
+
+    class Probe(TinyScene):
+        def main(self, **kw):
+            captured["ffmpeg"] = self.ffmpeg
+            return super().main(**kw)
+
+    Probe.__name__ = "Probe"
+    launch([Probe], ["Probe", "main", "-o", str(out),
+                     "-w", "64", "--height", "36", "-f", "5", "-t", "0.4",
+                     "h265", "--crf", "22", "--preset", "fast",
+                     "aac", "--bitrate", "96k",
+                     "scale", "--width", "1280"])
+    ff = captured["ffmpeg"]
+    assert ff.vcodec.codec == "libx265"
+    assert ff.vcodec.extra["crf"] == 22
+    assert ff.vcodec.extra["preset"] == "fast"
+    assert ff.acodec.extra["b:a"] == "96k"
+    # The user's chained filter must survive the exporter's per-export
+    # cleanup (exporting.py ffmpeg_clean keeps non-exporter filters; the
+    # end-to-end -vf assembly is pinned by test_ffmpeg's command tests)
+    assert any("scale=1280" in str(f) for f in ff.filters)
+    assert out.exists() and out.stat().st_size == 2 * 64 * 36 * 3
+
+
+def test_chained_reference_aliases_and_flag_values(tmp_path):
+    # acopy/anone/aempty + dashed names resolve; `--vcodec h264` stays a
+    # flag pair (the value is never read as a chain command)
+    out = tmp_path / "o.rgb"
+    captured = {}
+
+    class Probe(TinyScene):
+        def main(self, **kw):
+            captured["ffmpeg"] = self.ffmpeg
+            return super().main(**kw)
+
+    Probe.__name__ = "Probe"
+    launch([Probe], ["Probe", "main", "-o", str(out),
+                     "-w", "32", "--height", "18", "-f", "5", "-t", "0.2",
+                     "--vcodec", "h264", "--crf", "18",
+                     "av1-svt", "--preset", "6", "anone"])
+    ff = captured["ffmpeg"]
+    assert ff.vcodec.codec == "libsvtav1"      # chained command wins (last set)
+    assert ff.vcodec.extra["preset"] == 6
+    assert ff.acodec.args(ff) == ["-an"]       # anone -> no_audio
+
+
+def test_chained_bad_option_rejected(tmp_path, capsys):
+    out = tmp_path / "o.rgb"
+    result = launch([TinyScene], ["TinyScene", "main", "-o", str(out),
+                                  "h264", "--cq", "20"])  # --cq is NVENC-only
+    assert result is None
+    assert not out.exists()
+
+
 def test_qsv_amf_stub_codecs():
     from shaderflow_tpu.io.ffmpeg import FFmpeg
     ff = FFmpeg()
