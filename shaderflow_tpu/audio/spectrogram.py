@@ -203,8 +203,14 @@ class ShaderSpectrogram(BrokenSpectrogram, ShaderModule):
         samplerate = self.audio.samplerate
         ends = np.round(np.arange(total) * samplerate / fps).astype(np.int32)
         offsets = ends - int(2 ** self.fft_n)
-        window = jnp.asarray(self.window(self.fft_size), jnp.float32)
-        matrix = jnp.asarray(self.spectrogram_matrix())
+        # HOST numpy constants, deliberately: a closure-captured DEVICE
+        # array lowers into the program by reading its VALUE back
+        # (mlir.ir_constant -> array._value), and the first device->host
+        # readback of a process pays this environment's tunnel-setup
+        # latency (50 s to minutes — measured 80-390 s inside .lower() on
+        # 2026-08-19). numpy constants embed directly from host memory.
+        window = np.asarray(self.window(self.fft_size), np.float32)
+        matrix = np.asarray(self.spectrogram_matrix(), np.float32)
 
         @jax.jit
         def compute(audio, offsets):

@@ -116,6 +116,7 @@ class RenderEngine:
         # Batch-invariant prelude cache bookkeeping (see _ensure_prelude_cache)
         self._prelude_fns: dict[str, Any] = {}
         self._prelude_probe_state: Optional[tuple] = None
+        self._prelude_probe_memo: dict[tuple, dict[str, Any]] = {}
         self._main_size: tuple = (0, 0)
         self._aspect: float = 1.0
 
@@ -280,11 +281,13 @@ class RenderEngine:
         prelude_fns = dict(getattr(scene, "batch_preludes", None) or {})
 
         # BATCH-INVARIANT preludes: see _ensure_prelude_cache. The probe
-        # state resets here so a full rebuild always re-probes.
+        # state key covers everything the probe can observe (fn code set,
+        # sequence signature, size, aspect), so an unchanged rebuild — e.g.
+        # a repeat scene.main() — keeps the cached fields instead of paying
+        # the full-resolution probe again.
         self._prelude_fns = prelude_fns
         self._main_size = sizes[-1]
         self._aspect = aspect
-        self._prelude_probe_state = None
         self._ensure_prelude_cache()
 
         def unpack_uniforms(row, spec):
@@ -529,8 +532,16 @@ class RenderEngine:
         Under SKIP_TPU the probe is skipped entirely (the flag exists to
         benchmark the pure host loop; flush() never runs device programs),
         leaving the per-launch axis-1 fallback semantically in charge."""
-        state = (tuple(sorted((n, id(f)) for n, f in self._prelude_fns.items())),
-                 self._sequence_signature())
+        # Identify prelude fns by (name, __code__): scenes re-register fresh
+        # closures from the same factory on every build (demo.py
+        # _static_prelude_field), and keying on id(f) made every scene.main
+        # re-trace + re-run the full-resolution probe (~0.5 s/export on the
+        # chip). Same-code closures share semantics by the batch_preludes
+        # contract; a genuinely different fn under the same name still
+        # differs in __code__.
+        state = (tuple(sorted((n, id(getattr(f, "__code__", f)))
+                              for n, f in self._prelude_fns.items())),
+                 self._sequence_signature(), self._main_size, self._aspect)
         if state == self._prelude_probe_state:
             return
         self._prelude_probe_state = state
@@ -538,16 +549,19 @@ class RenderEngine:
             del self._static_tex[name]
         if not self._prelude_fns or SKIP_TPU:
             return
+        memo = self._prelude_probe_memo.get(state)
+        if memo is not None:
+            # Repeat scene.main()s flip the sequence signature (module
+            # setup() unbinds, the first update rebinds) — serve the already
+            # probed device arrays instead of re-probing per export.
+            for name, value in memo.items():
+                self._static_tex[_PRELUDE_KEY + name] = value
+            return
         prelude_fns = dict(self._prelude_fns)
         main_size, aspect = self._main_size, self._aspect
 
-        # The frame offset is a TRACED argument so both probe evaluations
-        # (offset 0 and 7, see contract above) share one compile — the probe
-        # compiles the full-resolution prelude fns, which is the single
-        # biggest cold-start item after the render program itself.
-        def _probe(sequences, offset):
-            ctx = PreludeCtx(jnp.arange(2, dtype=jnp.int32) + offset,
-                             sequences, main_size, aspect)
+        def _probe(sequences, offsets):
+            ctx = PreludeCtx(offsets, sequences, main_size, aspect)
             vals = {}
             for name, fn in prelude_fns.items():
                 value = fn(ctx)
@@ -556,21 +570,45 @@ class RenderEngine:
             return vals
 
         t0 = time.perf_counter()
-        probe_jit = jax.jit(_probe)
-        base = probe_jit(self._sequences, jnp.int32(0))
-        shifted = probe_jit(self._sequences, jnp.int32(7))
-        for name, value in base.items():
-            other = shifted.get(name)
-            if (other is not None and other.shape == value.shape
-                    and bool(jnp.array_equal(value, other))):
-                self._static_tex[_PRELUDE_KEY + name] = value
-            else:
-                logger.debug(f"Prelude {name!r} depends on frame index "
-                             f"values; left per-launch (not cached)")
+        # Frame-index-value dependence is decided STATICALLY: outputs whose
+        # jaxpr does not (transitively) depend on the frame-offset input are
+        # provably batch-invariant. A value comparison would need a
+        # device->host readback — and the first readback of a process pays
+        # this environment's tunnel-setup latency (50 s-minutes, the
+        # landmine in ROADMAP) — so no probe bytes ever leave the device.
+        offsets0 = jnp.arange(2, dtype=jnp.int32)
+        closed = jax.make_jaxpr(_probe)(self._sequences, offsets0)
+        flat_outs = closed.jaxpr.outvars
+        names = sorted(jax.jit(_probe).eval_shape(self._sequences, offsets0))
+        n_seq_leaves = len(jax.tree_util.tree_leaves(self._sequences))
+        tainted: set[int] = set()  # id()-keyed: Literals aren't hashable
+        in_vars = closed.jaxpr.invars
+        if len(in_vars) > n_seq_leaves:
+            tainted.add(id(in_vars[n_seq_leaves]))
+            for eqn in closed.jaxpr.eqns:
+                if any(id(v) in tainted for v in eqn.invars):
+                    tainted.update(id(v) for v in eqn.outvars)
+        invariant = [name for name, var in zip(names, flat_outs)
+                     if id(var) not in tainted]
+        if invariant:
+            values = jax.jit(_probe)(self._sequences, offsets0)
+            cached = {}
+            for name in invariant:
+                self._static_tex[_PRELUDE_KEY + name] = values[name]
+                cached[name] = values[name]
+            self._prelude_probe_memo[state] = cached
+            # Memo holds full-resolution device arrays: keep it tiny (the
+            # realistic churn is ONE signature flip per scene.main)
+            while len(self._prelude_probe_memo) > 2:
+                self._prelude_probe_memo.pop(
+                    next(iter(self._prelude_probe_memo)))
+        for name in set(names) - set(invariant):
+            logger.debug(f"Prelude {name!r} depends on frame index values; "
+                         f"left per-launch (not cached)")
         self.probe_seconds = time.perf_counter() - t0
         if self.probe_seconds > 2.0:
             logger.info(f"Prelude probe: {self.probe_seconds:.1f}s "
-                        f"(compile + run, {len(base)} fields)")
+                        f"(compile + run, {len(invariant)} fields)")
 
     def capture_frame(self) -> None:
         """Snapshot the current frame's uniforms + dirty textures. Called

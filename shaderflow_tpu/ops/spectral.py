@@ -252,20 +252,30 @@ def waveform_batch(
     reducer: Callable[[Array], Array] = waveform_average,
 ) -> Array:
     """Batched oscilloscope bars: audio (C, S), ends (F,) exclusive end sample
-    of each frame's window -> (F, points, C) reduced chunks.
+    of each frame's window (CHUNK-ALIGNED, as audio/waveform.py produces) ->
+    (F, points, C) reduced chunks.
 
     Functional form of ShaderWaveform.update (audio/waveform.py:80-87): the
-    last `points*chunk_size` samples before each frame's cursor, reshaped to
-    (points, chunk_size) and reduced per chunk."""
-    span = points * chunk_size
-    starts = ends - span
-    idx = starts[:, None] + jnp.arange(span)[None, :]               # (F, span)
-    valid = (idx >= 0) & (idx < audio.shape[1])
-    idx = jnp.clip(idx, 0, audio.shape[1] - 1)
-    windows = jnp.where(valid[None], audio[:, idx], 0.0)            # (C, F, span)
-    chunks = windows.reshape(audio.shape[0], ends.shape[0], points, chunk_size)
-    reduced = reducer(chunks)                                       # (C, F, points)
-    return jnp.transpose(reduced, (1, 2, 0))
+    last `points*chunk_size` samples before each frame's cursor, reduced per
+    chunk. Consecutive frames' windows overlap almost entirely, so the
+    per-chunk reductions are computed ONCE over the whole track (a contiguous
+    reshape — no gather) and each frame gathers its `points` chunk indices:
+    O(S) work + a (F, points) gather, instead of materializing (C, F,
+    points*chunk) sample windows through a pointwise gather (~3 M idx/s on
+    TPU; 37 s and a 20 GB allocation at a 300-frame 15-min-track config)."""
+    C, S = audio.shape
+    n_chunks = max(1, S // chunk_size)
+    chunked = audio[:, :n_chunks * chunk_size].reshape(C, n_chunks, chunk_size)
+    reduced = reducer(chunked)                                      # (C, n_chunks)
+    end_chunk = ends // chunk_size
+    idx = end_chunk[:, None] - points + jnp.arange(points)[None, :]  # (F, points)
+    valid = (idx >= 0) & (idx < n_chunks)
+    gathered = jnp.take(reduced, jnp.clip(idx, 0, n_chunks - 1), axis=1)
+    # Out-of-range chunks reduce a zero window (the old sample-level
+    # zero-fill), exact for any reducer
+    zero = reducer(jnp.zeros((1, 1, chunk_size), jnp.asarray(audio).dtype))[0, 0]
+    gathered = jnp.where(valid[None], gathered, zero)               # (C, F, points)
+    return jnp.transpose(gathered, (1, 2, 0))
 
 
 # --------------------------------------------------------------------------- #

@@ -461,20 +461,26 @@ class ShaderScene(ShaderModule):
     # -- export (freewheel) hot loop ----------------------------------------
 
     def _prewarm_modules(self) -> None:
-        """Run every overridden module.prewarm() concurrently (one worker
-        thread each) before the first frame: the whole-file spectrogram
-        STFT, waveform bars and piano note-scan are each an independent
-        device compile, so overlapping them cuts the cold-start serial
-        chain (tools/coldstart.py breakdown; VERDICT r4 #2). JAX compiles
-        are thread-safe; each module writes only its own state; all joined
-        here before any update() reads the results."""
+        """Run every overridden module.prewarm() before the first frame:
+        the whole-file spectrogram STFT, waveform bars and piano note-scan
+        are each an independent device compile (tools/coldstart.py
+        breakdown; VERDICT r4 #2).
+
+        SEQUENTIAL by default: on the remote-attached (axon tunnel) backend
+        two concurrent jax compile/execute calls serialize pathologically —
+        measured 191-409 s for prewarms that take ~6 s back-to-back (each
+        thread's device call starves the other; 2026-08-19 chip session).
+        SHADERFLOW_PARALLEL_PREWARM=1 restores the threaded overlap for
+        locally-attached devices, where the compiles genuinely pipeline."""
         import threading
         warmers = [m for m in self.modules
                    if type(m).prewarm is not ShaderModule.prewarm]
         if not warmers:
             return
-        if len(warmers) == 1:
-            warmers[0].prewarm()
+        if (len(warmers) == 1
+                or os.environ.get("SHADERFLOW_PARALLEL_PREWARM") != "1"):
+            for module in warmers:
+                module.prewarm()
             return
         failures: list = []
 
