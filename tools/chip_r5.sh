@@ -44,7 +44,10 @@ step compose      1800 python -u tools/bench_compose.py
 # 6. GLSL front-end throughput vs python fragments (round-5 feature)
 step glsl         2400 python -u tools/bench_glsl.py
 
-# 7. Cold-start phase breakdown, fresh compile cache (r4 #2) — LAST: slow
+# 7. Video texture 4K60 decode/export (r4 #8)
+step video        2400 python -u tools/bench_video.py
+
+# 8. Cold-start phase breakdown, fresh compile cache (r4 #2) — LAST: slow
 step coldstart    2400 python -u tools/coldstart.py
 
 echo "=== DONE ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG/summary.txt"
