@@ -53,6 +53,14 @@ class ShaderDynamics(ShaderModule, DynamicNumber):
     def update(self) -> None:
         # abs(dt): the system is unstable backwards in time
         self.next(dt=abs(self.scene.rdt if self.real else self.scene.dt))
+        # HUD plot history (numpy host values only — a device value here
+        # would turn the append into a readback)
+        if isinstance(self.value, (int, float, np.generic, np.ndarray)):
+            history = getattr(self, "_ui_history", None)
+            if history is None:
+                from collections import deque
+                history = self._ui_history = deque(maxlen=240)
+            history.append(float(np.asarray(self.value).reshape(-1)[0]))
 
     @property
     def type(self) -> Optional[str]:
@@ -68,6 +76,11 @@ class ShaderDynamics(ShaderModule, DynamicNumber):
         value = np.asarray(self.value).reshape(-1)
         yield f"f={self.frequency:.2f}  z={self.zeta:.2f}  r={self.response:.2f}"
         yield "value " + " ".join(f"{v:+.3f}" for v in value[:4])
+
+    def ui_plots(self):
+        from shaderflow_tpu.module import UIPlot
+        history = getattr(self, "_ui_history", None)
+        return [UIPlot("value", list(history))] if history else []
 
     def ui_fields(self):
         from shaderflow_tpu.module import UIField

@@ -76,3 +76,8 @@ class ShaderFrametimer(ShaderModule):
                f"min {self.framerate_minimum:6.1f}  max {self.framerate_maximum:6.1f}")
         yield (f"dt avg {1000 * self.frametime_average():6.2f} ms  "
                f"max {1000 * self.frametime_maximum:6.2f} ms")
+
+    def ui_plots(self):
+        from shaderflow_tpu.module import UIPlot
+        return [UIPlot("frametime ms",
+                       [1000.0 * dt for dt in self.frametimes], lo=0.0)]

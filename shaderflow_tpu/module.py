@@ -184,6 +184,13 @@ class ShaderModule:
         nudge it by `step` (Shift: x10, Ctrl: x0.1)."""
         return []
 
+    def ui_plots(self) -> list["UIPlot"]:
+        """Sparkline series for this module's panel — the imgui PlotLines
+        half of the reference's __ui__ widgets (its frametimer/dynamics
+        panels plot histories the same way). Rendered as rasterized line
+        plots under the panel's fields when the module is selected."""
+        return []
+
 
 class UIField:
     """One editable scalar on a module's HUD panel."""
@@ -210,3 +217,16 @@ class UIField:
 
     def render(self) -> str:
         return f"{self.label} " + self.fmt.format(float(self.get()))
+
+
+class UIPlot:
+    """One sparkline on a module's HUD panel (imgui PlotLines equivalent).
+
+    `values` is any 1D sequence sampled oldest -> newest; `lo`/`hi` pin the
+    y-range (None = auto from the current window)."""
+
+    def __init__(self, label: str, values, lo: float = None, hi: float = None):
+        self.label = label
+        self.values = values
+        self.lo = lo
+        self.hi = hi

@@ -1117,6 +1117,7 @@ class ShaderScene(ShaderModule):
         # own panel (speed/quality/ssaa) comes last.
         panels = self._ui_panels()
         selected = panels[self._ui_index % len(panels)] if panels else None
+        plot_strips: list[tuple] = []  # (first row, values, lo, hi)
         for module_index, module in enumerate(panels):
             marker = ">" if module is selected else " "
             label = "Scene" if module is self else type(module).__name__
@@ -1133,9 +1134,24 @@ class ShaderScene(ShaderModule):
                         lines.append((f"     {edit}{field.render()}"
                                       "   (-/+ or drag)",
                                       ("field", index)))
+                    # Sparkline plots (imgui PlotLines): label row + a
+                    # reserved 3-row strip rasterized after the text pass
+                    for plot in module.ui_plots() or []:
+                        values = np.asarray(list(plot.values), np.float32)
+                        if values.size < 2:
+                            continue
+                        lo = plot.lo if plot.lo is not None else float(values.min())
+                        hi = plot.hi if plot.hi is not None else float(values.max())
+                        lines.append((f"      {plot.label}  "
+                                      f"[{values[-1]:.3g}]  {lo:.3g}..{hi:.3g}",
+                                      None))
+                        plot_strips.append((len(lines), values, lo, hi))
+                        lines.extend([("", None)] * self._HUD_PLOT_ROWS)
                 except Exception as error:
                     lines.append((f"      ui() error: {error}", None))
         lines = lines[:28]
+        plot_strips = [(row, v, lo, hi) for row, v, lo, hi in plot_strips
+                       if row + self._HUD_PLOT_ROWS <= len(lines)]
         # Row hit map for mouse interaction: row i spans y in
         # [6 + 16 i, 6 + 16 (i+1)) at x < _HUD_WIDTH (see _hud_mouse)
         self._hud_rows = [action for _, action in lines]
@@ -1157,11 +1173,34 @@ class ShaderScene(ShaderModule):
             SDLWindow.draw_text(frame, [text for text, _ in lines],
                                 origin=(8, self._HUD_ROW0),
                                 pitch=self._HUD_ROWH)
+        for row, values, lo, hi in plot_strips:
+            self._raster_plot(frame, row, values, lo, hi)
         return frame
 
-    _HUD_WIDTH = 420   # panel hit width, frame pixels
-    _HUD_ROW0 = 6      # first row's top edge
-    _HUD_ROWH = 16     # row pitch (matches putText layout above)
+    def _raster_plot(self, frame: np.ndarray, row: int,
+                     values: np.ndarray, lo: float, hi: float) -> None:
+        """Rasterize one sparkline strip into the HUD (pure numpy: works
+        under every window backend, no cv2/pygame dependency)."""
+        y0 = self._HUD_ROW0 + self._HUD_ROWH * row + 2
+        height = self._HUD_ROWH * self._HUD_PLOT_ROWS - 6
+        x0, width = 14, min(self._HUD_WIDTH - 28, frame.shape[1] - 14)
+        if y0 + height > frame.shape[0] or width < 8:
+            return
+        strip = frame[y0:y0 + height, x0:x0 + width]
+        strip //= 2  # darken twice: the plot bed reads against the backdrop
+        columns = np.interp(np.linspace(0, values.size - 1, width),
+                            np.arange(values.size), values)
+        span = (hi - lo) or 1.0
+        ys = np.clip(((hi - columns) / span) * (height - 1), 0,
+                     height - 1).astype(np.int32)
+        xs = np.arange(width)
+        strip[ys, xs] = 255
+        strip[np.clip(ys + 1, 0, height - 1), xs] = 255
+
+    _HUD_WIDTH = 420      # panel hit width, frame pixels
+    _HUD_ROW0 = 6         # first row's top edge
+    _HUD_ROWH = 16        # row pitch (matches putText layout above)
+    _HUD_PLOT_ROWS = 3    # text rows one sparkline strip occupies
 
     def _hud_mouse(self, kind: str, x: int, y: int,
                    dx: int = 0, dy: int = 0) -> bool:
