@@ -32,9 +32,11 @@ CONFIGS = [
 
 
 def run(scene_cls, seconds, **kw) -> float:
+    # ONE scene instance: the warm pass pays compiles + audio precomputes
+    # (cached on the instance), the timed pass measures steady export
+    # throughput — same protocol as bench.py
     scene = scene_cls()
     scene.main(time=seconds, output="null", **kw)  # warm (compile)
-    scene = scene_cls()
     t0 = time.monotonic()
     scene.main(time=seconds, output="null", **kw)
     return time.monotonic() - t0
