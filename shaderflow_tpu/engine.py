@@ -720,6 +720,7 @@ class RenderEngine:
         retrace on the final partial batch); the padding is cropped off.
         """
         count = count if count is not None else len(self._frame_uniforms)
+        self.last_flush_retraced = False
         if count == 0:
             return None
         if SKIP_TPU:
@@ -768,7 +769,10 @@ class RenderEngine:
         t0 = time.perf_counter()
         self._carry, frames_u8 = self._jitted(
             self._carry, packed, streams, self._static_tex, self._sequences, spec)
-        if self._jitted._cache_size() != before:
+        # Consumers that time launches (the realtime micro-batch controller)
+        # must be able to discard compile-polluted samples
+        self.last_flush_retraced = self._jitted._cache_size() != before
+        if self.last_flush_retraced:
             took = time.perf_counter() - t0
             self.compile_events.append((packed.shape[0], took))
             logger.info(f"Engine (re)traced: batch={packed.shape[0]} "

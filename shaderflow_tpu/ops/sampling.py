@@ -86,10 +86,18 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     # v up -> rows top-down: row = (1 - v)*H - 0.5
     v = (1.0 - uv[..., 1]) * h - 0.5
 
+    # Texel fetches go through ONE flat take on (H*W, C) instead of four
+    # two-axis advanced-index gathers: each d[iy, ix] lowers to its own
+    # gather + index concatenate + bounds select, ~4-5x the ops of the
+    # bilinear math itself (measured on the GLSL visualizer's 80-tap blur:
+    # ~217 ops/px/sample -> the flat form is the dominant-term fix). Values
+    # are bit-identical: same texels, same lerp order.
+    flat = tex.data.reshape(h * w, *tex.data.shape[2:])
+
     if not tex.linear:
         ix = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, tex.repeat_x)
         iy = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, tex.repeat_y)
-        return _gather(tex.data, iy, ix)
+        return jnp.take(flat, iy * w + ix, axis=0, mode="clip")
 
     x0f = jnp.floor(u)
     y0f = jnp.floor(v)
@@ -100,12 +108,12 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     y0 = _wrap(y0f.astype(jnp.int32), h, tex.repeat_y)
     y1 = _wrap(y0f.astype(jnp.int32) + 1, h, tex.repeat_y)
 
-    c00 = _gather(tex.data, y0, x0)
-    c01 = _gather(tex.data, y0, x1)
-    c10 = _gather(tex.data, y1, x0)
-    c11 = _gather(tex.data, y1, x1)
-    top = c00 + (c01 - c00) * fx
-    bottom = c10 + (c11 - c10) * fx
+    rows0 = y0 * w
+    rows1 = y1 * w
+    idx = jnp.stack([rows0 + x0, rows0 + x1, rows1 + x0, rows1 + x1])
+    tx = jnp.take(flat, idx, axis=0, mode="clip")   # (4, ..., C)
+    top = tx[0] + (tx[1] - tx[0]) * fx
+    bottom = tx[2] + (tx[3] - tx[2]) * fx
     return top + (bottom - top) * fy
 
 
@@ -914,7 +922,9 @@ def texel_fetch(tex: Sampler2D, xy: Array) -> Array:
     inside = (x >= 0) & (x < w) & (xy[..., 1] >= 0) & (xy[..., 1] < h)
     x = jnp.clip(x, 0, w - 1)
     y_row = jnp.clip(y_row, 0, h - 1)
-    return jnp.where(inside[..., None], _gather(tex.data, y_row, x), 0.0)
+    flat = tex.data.reshape(h * w, *tex.data.shape[2:])
+    texels = jnp.take(flat, y_row * w + x, axis=0, mode="clip")
+    return jnp.where(inside[..., None], texels, 0.0)
 
 
 # --------------------------------------------------------------------------- #

@@ -717,7 +717,12 @@ class ShaderScene(ShaderModule):
         dispatched = self.engine.flush(n)
         if async_display:
             self._async_display_frame(dispatched)
-            self._rt_batch_feedback(time.perf_counter() - t0, n)
+            # A launch that (re)compiled measures XLA compile time, not
+            # loop cost: feeding it into the controller's EMA sent the
+            # auto size climbing through EVERY intermediate batch size,
+            # paying a 3-7 s engine compile per step (observed 08-19)
+            if not getattr(self.engine, "last_flush_retraced", False):
+                self._rt_batch_feedback(time.perf_counter() - t0, n)
             return
         # Synchronous display (SHADERFLOW_SYNC_DISPLAY=1, and headless):
         # show frame k-depth while the device renders frame k; the loop
@@ -795,7 +800,14 @@ class ShaderScene(ShaderModule):
         current = max(1, getattr(self, "_rt_batch_n", 1))
         new = current
         if streak >= 3 and current < self._RT_BATCH_MAX:
-            new = current * 2
+            # Jump to the PREDICTED size in one step: each size change
+            # compiles a new engine program (seconds on a remote chip), so
+            # stepping 1->2->4->8 pays three compiles where one suffices.
+            # Launch cost is dispatch-dominated when over budget, so the
+            # needed size scales with the miss ratio (next power of two).
+            miss = ema / period
+            factor = 2 ** max(1, math.ceil(math.log2(miss)))
+            new = min(self._RT_BATCH_MAX, current * int(factor))
         elif streak <= -3 and current > 1:
             new = current // 2
         if new != current:

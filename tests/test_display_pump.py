@@ -234,3 +234,23 @@ def test_realtime_forced_micro_batch_frame_count(monkeypatch):
     assert any(a[0] == 2 for a in calls)  # micro-batched launches happened
     # The launch task paced at fps/2 (one launch covers two frame periods)
     assert scene.vsync.frequency == pytest.approx(30.0)
+
+
+def test_rt_micro_batch_predictive_jump(monkeypatch):
+    """A big budget miss jumps the auto size in ONE step (each size change
+    compiles a new engine program — stepping through every power of two
+    pays seconds of compile per step on a remote chip)."""
+    monkeypatch.delenv("SHADERFLOW_RT_BATCH", raising=False)
+    from shaderflow_tpu.scene import ShaderScene, WindowBackend
+
+    scene = ShaderScene(backend=WindowBackend.Headless)
+    scene.fps = 60.0
+    # A fixed ~67 ms per-launch dispatch cost (4x the 16.7 ms budget):
+    # the controller should go straight to 8, not visit 2 and 4
+    sizes = []
+    for _ in range(8):
+        n = scene._rt_batch_size(auto_ok=True)
+        sizes.append(n)
+        scene._rt_batch_feedback(0.067, n)
+    assert scene._rt_batch_size(auto_ok=True) == 8
+    assert 2 not in sizes and 4 not in sizes
