@@ -418,6 +418,9 @@ class FFmpeg:
         return cmd
 
     def run(self, **options) -> subprocess.CompletedProcess:
+        # Never inherit stdin: ffmpeg reads it for interactive commands and
+        # a probe/convert run must not steal or block on the caller's input
+        options.setdefault("stdin", DEVNULL)
         return subprocess.run(self.command, **options)
 
     def popen(self, **options) -> subprocess.Popen:
@@ -536,7 +539,7 @@ class FFmpeg:
                         .filter(f"select='gte(n\\,{skip})'")
                         .rawvideo().no_audio()
                         .pipe_output(format="rawvideo", pixel_format="rgb24")
-                        ).popen(stdout=PIPE, stderr=DEVNULL)
+                        ).popen(stdout=PIPE, stderr=DEVNULL, stdin=DEVNULL)
                 stride = width * height * 3
                 try:
                     while (raw := proc.stdout.read(stride)) and len(raw) == stride:
@@ -685,8 +688,13 @@ class AudioReader:
     def _open_stream(self):
         """Returns a read(nbytes) callable producing interleaved PCM."""
         if FFmpeg.available():
+            # stdin=DEVNULL: ffmpeg polls stdin for interactive commands and
+            # a decoder child left reading an inherited pipe outlives the
+            # export (it holds the parent's stdout open, wedging `... | tail`)
             proc = (FFmpeg().quiet().input(self.path).pcm(self.format.format)
-                    .no_video().output("-")).popen(stdout=PIPE, stderr=DEVNULL)
+                    .no_video().output("-")).popen(stdout=PIPE, stderr=DEVNULL,
+                                                   stdin=DEVNULL)
+            self._proc = proc
             return proc.stdout.read
 
         import wave
@@ -717,20 +725,37 @@ class AudioReader:
         self.channels = FFmpeg.get_audio_channels(self.path) or 2
         self.samplerate = FFmpeg.get_audio_samplerate(self.path) or 44100
         self.read = 0
+        self._proc = None
         reader = self._open_stream()
 
-        target = 0.0
-        while True:
-            target += self.chunk
-            length = (target - self.time) * self.bytes_per_second
-            length = int(self.block_size * round(length / self.block_size))
-            length = max(length, self.block_size)
-            data = reader(length)
-            if not data:
-                break
-            array = np.frombuffer(data, dtype=self.format.dtype).reshape(-1, self.channels)
-            yield array.astype(np.float32, copy=False)
-            self.read += len(data)
+        try:
+            target = 0.0
+            while True:
+                target += self.chunk
+                length = (target - self.time) * self.bytes_per_second
+                length = int(self.block_size * round(length / self.block_size))
+                length = max(length, self.block_size)
+                data = reader(length)
+                if not data:
+                    break
+                # A dying/garbage decoder can hand back a partial sample
+                # block (reference treats decoder EOF/crash as stream end,
+                # /root/reference/shaderflow/ffmpeg.py audio read loop) —
+                # drop the trailing partial bytes instead of crashing
+                frame_bytes = self.format.size * self.channels
+                usable = len(data) - (len(data) % frame_bytes)
+                if usable == 0:
+                    break
+                array = np.frombuffer(data[:usable], dtype=self.format.dtype).reshape(-1, self.channels)
+                yield array.astype(np.float32, copy=False)
+                self.read += len(data)
+        finally:
+            # Reap the decoder on ANY exit (end-of-stream, consumer break,
+            # error): an abandoned child holds inherited pipes open
+            if self._proc is not None:
+                self._proc.kill()
+                self._proc.wait()
+                self._proc = None
         return
 
 

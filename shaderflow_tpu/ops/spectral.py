@@ -265,6 +265,10 @@ def waveform_batch(
     TPU; 37 s and a 20 GB allocation at a 300-frame 15-min-track config)."""
     C, S = audio.shape
     n_chunks = max(1, S // chunk_size)
+    if S < n_chunks * chunk_size:
+        # Track shorter than one chunk (corrupt/near-empty decode): treat
+        # the tail as silence instead of failing the whole-export reshape
+        audio = jnp.pad(audio, ((0, 0), (0, n_chunks * chunk_size - S)))
     chunked = audio[:, :n_chunks * chunk_size].reshape(C, n_chunks, chunk_size)
     reduced = reducer(chunked)                                      # (C, n_chunks)
     end_chunk = ends // chunk_size
