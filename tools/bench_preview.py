@@ -71,23 +71,35 @@ def bench_link(scene, fps: float, reps: int = 5) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def bench_paced(scene, fps: float, frames: int) -> dict:
+def bench_paced(scene, fps: float, frames: int, display: bool = True) -> dict:
     """The real async-display realtime path, paced at `fps`: duty-cycled /
     adaptively-decimated display pump + the scene's own auto micro-batch
     controller (scene._rt_batch_size/_rt_batch_feedback — N frames per
     launch when the per-launch dispatch RPC exceeds the frame budget).
-    Reports per-FRAME pacing (a launch covers N frames)."""
+    Reports per-FRAME pacing (a launch covers N frames).
+
+    STEADY STATE is what's measured: the controller's growth ladder
+    (1 -> 2 -> 4 -> 8) costs one engine compile per size (3-7 s each over a
+    remote attachment), which a user pays once per session — an untimed
+    warm phase runs until the chosen micro-batch has been stable for three
+    launches, and only then does timing start. `display=False` measures the
+    loop without any device->host transfer (a locally-attached display is
+    ~free; the remote tunnel's transfers share the serialized RPC channel
+    with dispatches, so display-on is strictly worse there)."""
     import numpy as np
     from shaderflow_tpu.io.displaypump import DisplayPump
 
-    pump = DisplayPump()
+    pump = DisplayPump() if display else None
     scene.render_ui = True
     inflight = []
     times = []       # (wall_seconds, frames_covered) per launch
     displayed = 0
     rendered = 0
+    timing = False
+    stable = 0
+    last_n = 0
     try:
-        while rendered < frames + 10:
+        while rendered < frames or not timing:
             t0 = time.perf_counter()
             n = scene._rt_batch_size(auto_ok=True)
             scene.engine.begin_batch()
@@ -97,21 +109,34 @@ def bench_paced(scene, fps: float, frames: int) -> dict:
             inflight.append(dispatched)
             while len(inflight) > 3:
                 inflight.pop(0)[0].block_until_ready()
-            pump.offer(dispatched)
-            frame = pump.take()
+            if pump is not None:
+                pump.offer(dispatched)
+                frame = pump.take()
+            else:
+                frame = None
             call = time.perf_counter() - t0
             scene._rt_batch_feedback(call, n)
             if frame is not None:
                 scene._draw_hud(frame.copy())
-                displayed += 1
+                if timing:
+                    displayed += 1
             budget = n / fps - call
             if budget > 0:
                 time.sleep(budget)
-            rendered += n
-            if rendered > 10:
+            if timing:
                 times.append((time.perf_counter() - t0, n))
+                rendered += n
+            else:
+                # Warm phase: wait for the micro-batch ladder to settle
+                # (each size change compiles a new program)
+                stable = stable + 1 if n == last_n else 0
+                last_n = n
+                if stable >= 3:
+                    timing = True
+                    rendered = 0
     finally:
-        pump.close()
+        if pump is not None:
+            pump.close()
     per_frame = np.asarray([t / n for t, n in times])
     wall = sum(t for t, _ in times)
     n_final = scene._rt_batch_size(auto_ok=True)
@@ -121,7 +146,7 @@ def bench_paced(scene, fps: float, frames: int) -> dict:
         "missed_pct": float((per_frame > 1.0 / fps * 1.05).mean() * 100),
         "display_fps": displayed / wall if wall > 0 else 0.0,
         "rt_batch": int(n_final),
-        "display_decimate": int(pump.decimate),
+        "display_decimate": int(pump.decimate) if pump is not None else 0,
     }
 
 
@@ -142,14 +167,21 @@ def main() -> None:
     print(f"link    {width}x{height}: {link_s * 1e3:.1f} ms/frame "
           f"({mb / link_s:.1f} MB/s device->host)")
 
-    paced = bench_paced(make_scene(width, height, fps=60.0), 60.0, frames)
-    loop_verdict = "HOLDS 60" if paced["missed_pct"] < 5 else "MISSES 60"
-    print(f"paced-60 {width}x{height}: scene loop {paced['fps_achieved']:.1f} fps "
-          f"(p95 {paced['frame_ms_p95']:.1f} ms, {paced['missed_pct']:.1f}% over "
-          f"budget -> {loop_verdict}), display {paced['display_fps']:.1f} fps "
-          f"(link-bound: one {mb:.1f} MB frame per {link_s * 1e3:.0f} ms), "
-          f"micro-batch {paced['rt_batch']} frames/launch, "
-          f"display decimate x{paced['display_decimate']}")
+    for display in (False, True):
+        label = "display-on " if display else "display-off"
+        paced = bench_paced(make_scene(width, height, fps=60.0), 60.0,
+                            frames, display=display)
+        loop_verdict = "HOLDS 60" if paced["missed_pct"] < 5 else "MISSES 60"
+        tail = (f", display {paced['display_fps']:.1f} fps "
+                f"(link-bound: one {mb:.1f} MB frame per {link_s * 1e3:.0f} ms), "
+                f"display decimate x{paced['display_decimate']}"
+                if display else "")
+        print(f"paced-60 {label} {width}x{height}: scene loop "
+              f"{paced['fps_achieved']:.1f} fps "
+              f"(p95 {paced['frame_ms_p95']:.1f} ms, {paced['missed_pct']:.1f}% "
+              f"over budget -> {loop_verdict}), "
+              f"micro-batch {paced['rt_batch']} frames/launch{tail}",
+              flush=True)
 
 
 if __name__ == "__main__":
