@@ -265,19 +265,26 @@ class ExportingHelper:
 
     def pipe_batch(self, frames) -> None:
         """Send one uint8 (F, H, W, 3) batch to the sink. Accepts device
-        arrays; the host copy happens here (and is skipped entirely for
-        NullSink, which measures pure render throughput)."""
+        arrays or engine.WireBatch (flat-on-the-wire delivery, reshaped
+        back here for free); the host copy happens here (and is skipped
+        entirely for NullSink, which measures pure render throughput)."""
         count = int(frames.shape[0])
         if self.sink is None:
             self.update(count)
             return
         if isinstance(self.sink, NullSink):
             import jax
-            jax.block_until_ready(frames)
+            from shaderflow_tpu.engine import WireBatch
+            jax.block_until_ready(
+                frames.flat if isinstance(frames, WireBatch) else frames)
             self.sink.frames += count
             self.sink.bytes += int(np.prod(frames.shape))
         else:
-            self.sink.write_batch(np.asarray(frames))
+            from shaderflow_tpu.engine import WireBatch
+            if isinstance(frames, WireBatch):
+                self.sink.write_batch(frames.fetch())
+            else:
+                self.sink.write_batch(np.asarray(frames))
         self.update(count)
 
     # -- finish --------------------------------------------------------------

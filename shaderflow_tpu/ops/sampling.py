@@ -86,23 +86,35 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     # v up -> rows top-down: row = (1 - v)*H - 0.5
     v = (1.0 - uv[..., 1]) * h - 0.5
 
-    # Texel fetches go through ONE flat take on (H*W, C) instead of four
-    # two-axis advanced-index gathers: each d[iy, ix] lowers to its own
-    # gather + index concatenate + bounds select, ~4-5x the ops of the
-    # bilinear math itself (measured on the GLSL visualizer's 80-tap blur:
-    # ~217 ops/px/sample -> the flat form is the dominant-term fix). Values
-    # are bit-identical: same texels, same lerp order.
-    flat = tex.data.reshape(h * w, *tex.data.shape[2:])
+    # Texel fetches go through flat 1D takes on (H*W,) channel planes
+    # instead of four two-axis advanced-index gathers: each d[iy, ix]
+    # lowers to its own gather + index concatenate + bounds select, ~4-5x
+    # the ops of the bilinear math itself (measured on the GLSL
+    # visualizer's 80-tap blur: ~217 ops/px/sample -> the flat form is the
+    # dominant-term fix). The takes are PER CHANNEL on purpose: one take on
+    # the whole (H*W, C) array forces an (N, C) gather result whose TPU
+    # tiling pads the minor C (2..4) up to the 128 lane width — a 32-64x
+    # HBM blowup that OOMs 4K scenes (measured: f32[33M,2] gather padded
+    # 253M -> 15.8G). C takes on 1D planes keep clean layouts; texels and
+    # per-channel lerp order are unchanged (bit-identical values).
+    chans = tex.data.shape[2:]
+    planes = ([tex.data.reshape(h * w)] if not chans else
+              [tex.data[..., c].reshape(h * w) for c in range(chans[0])])
+
+    def _restack(per_chan):
+        return per_chan[0] if not chans else jnp.stack(per_chan, axis=-1)
 
     if not tex.linear:
         ix = _wrap(jnp.floor(u + 0.5).astype(jnp.int32), w, tex.repeat_x)
         iy = _wrap(jnp.floor(v + 0.5).astype(jnp.int32), h, tex.repeat_y)
-        return jnp.take(flat, iy * w + ix, axis=0, mode="clip")
+        idx = iy * w + ix
+        return _restack([jnp.take(p, idx, axis=0, mode="clip")
+                         for p in planes])
 
     x0f = jnp.floor(u)
     y0f = jnp.floor(v)
-    fx = (u - x0f)[..., None]
-    fy = (v - y0f)[..., None]
+    fx = u - x0f
+    fy = v - y0f
     x0 = _wrap(x0f.astype(jnp.int32), w, tex.repeat_x)
     x1 = _wrap(x0f.astype(jnp.int32) + 1, w, tex.repeat_x)
     y0 = _wrap(y0f.astype(jnp.int32), h, tex.repeat_y)
@@ -111,10 +123,13 @@ def sample(tex: Sampler2D, uv: Array) -> Array:
     rows0 = y0 * w
     rows1 = y1 * w
     idx = jnp.stack([rows0 + x0, rows0 + x1, rows1 + x0, rows1 + x1])
-    tx = jnp.take(flat, idx, axis=0, mode="clip")   # (4, ..., C)
-    top = tx[0] + (tx[1] - tx[0]) * fx
-    bottom = tx[2] + (tx[3] - tx[2]) * fx
-    return top + (bottom - top) * fy
+    out = []
+    for p in planes:
+        tx = jnp.take(p, idx, axis=0, mode="clip")   # (4, ...)
+        top = tx[0] + (tx[1] - tx[0]) * fx
+        bottom = tx[2] + (tx[3] - tx[2]) * fx
+        out.append(top + (bottom - top) * fy)
+    return _restack(out)
 
 
 # --------------------------------------------------------------------------- #

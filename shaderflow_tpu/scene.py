@@ -30,6 +30,7 @@ import numpy as np
 
 from shaderflow_tpu import logger
 from shaderflow_tpu.engine import RenderEngine
+from shaderflow_tpu.engine import to_wire as engine_to_wire
 from shaderflow_tpu.exporting import ExportingHelper
 from shaderflow_tpu.frametimer import ShaderFrametimer
 from shaderflow_tpu.io.ffmpeg import FFmpeg
@@ -604,10 +605,14 @@ class ShaderScene(ShaderModule):
             frames = self.engine.flush(count, pad_to=size)
             t2 = time.perf_counter() if trace else 0.0
             if export.wants_host_frames:
-                # Enqueue the device->host copy right behind the compute on
-                # the device stream: the transfer overlaps the NEXT batch's
-                # host capture + compute. (Never for NullSink: it measures
-                # pure render throughput and must not pay the link.)
+                # Stage for delivery: flatten to the unpadded wire layout on
+                # device (engine.WireBatch — a padded (F,H,W,3) u8 fetch is
+                # 5-20x slower than the same bytes flat), then enqueue the
+                # device->host copy right behind the compute on the device
+                # stream: the transfer overlaps the NEXT batch's host
+                # capture + compute. (Never for NullSink: it measures pure
+                # render throughput and must not pay the link.)
+                frames = engine_to_wire(frames)
                 try:
                     frames.copy_to_host_async()
                 except Exception:
