@@ -136,6 +136,18 @@ def to_wire(frames) -> WireBatch:
     return WireBatch(_wire_flatten(frames), frames.shape)
 
 
+def fetch_frame(frame) -> np.ndarray:
+    """Fetch one (H, W, 3) device frame through the unpadded wire layout
+    (device-side flatten, then reshape the host buffer — see WireBatch)."""
+    if isinstance(frame, np.ndarray):
+        return frame
+    try:
+        shape = frame.shape
+        return np.asarray(frame.reshape(-1)).reshape(shape)
+    except Exception:  # non-jax input (test fakes): plain fetch
+        return np.asarray(frame)
+
+
 class RenderEngine:
 
     def __init__(self, scene: "ShaderScene"):
@@ -152,6 +164,7 @@ class RenderEngine:
         self._sequence_windows: dict[str, int] = {}
         self._statics: dict[str, Any] = {}
         self._streamed_names: set[str] = set()
+        self._stream_f32: set[str] = set()  # names pinned to f32 snapshots
         self._uniform_kinds: dict[str, str] = {}
 
         # Batch-invariant prelude cache bookkeeping (see _ensure_prelude_cache)
@@ -415,7 +428,13 @@ class RenderEngine:
                         box = jax.lax.dynamic_index_in_dim(
                             sequence, index, 0, keepdims=False)
                     textures[name] = box[None, None]  # (1, 1, H, W, C)
-                textures.update(frame_streams)
+                for name, stream_box in frame_streams.items():
+                    # u8-on-the-wire streams (engine._stream_snapshot):
+                    # normalize on device with the exact host-write math
+                    # (texture._normalize's f32 /255 division)
+                    if stream_box.dtype == jnp.uint8:
+                        stream_box = stream_box.astype(jnp.float32) / 255.0
+                    textures[name] = stream_box
                 textures.update(carry)
 
                 new_carry = {}
@@ -691,14 +710,34 @@ class RenderEngine:
                 self._streamed_names.add(name)
                 self._static_tex.pop(name, None)
                 self._build_key = self._compute_build_key()
-                backfill = tex.matrix.copy()
+                backfill = self._stream_snapshot(name, tex)
                 self._frame_streams[name] = [backfill] * frame_index
                 streamed = True
                 if frame_index:
                     logger.debug(f"Texture {name} became streamed mid-batch at frame {frame_index}")
             if streamed:
-                self._frame_streams[name].append(tex.matrix.copy())
+                self._frame_streams[name].append(self._stream_snapshot(name, tex))
                 tex.dirty = False
+
+    def _stream_snapshot(self, name: str, tex) -> np.ndarray:
+        """Host snapshot of a streamed texture's content. u8-on-the-wire
+        when the texture's last write kept its u8 twin (texture.wire_u8 —
+        video frames): the host->device stream ships 1 byte/channel
+        instead of 4 (4K batch 32: 3.19 GB -> 0.80 GB per flush) and
+        render_batch normalizes back to f32 in-jit with the same /255
+        division the host write used. A name that ever falls back to f32
+        stays f32 — a mixed-dtype stack would silently upcast raw 0-255
+        u8 values into the normalized f32 stream."""
+        wire = getattr(tex, "wire_u8", None)
+        if wire is not None and name not in self._stream_f32:
+            return wire  # fresh array per write(); never mutated in place
+        if name not in self._stream_f32:
+            self._stream_f32.add(name)
+            snaps = self._frame_streams.get(name) or []
+            for index, snap in enumerate(snaps):
+                if snap.dtype == np.uint8:  # exact: stored u8/255 == matrix
+                    snaps[index] = snap.astype(np.float32) / 255.0
+        return tex.matrix.copy()
 
     # ------------------------------------------------------------------ #
     # Flush: run the device program

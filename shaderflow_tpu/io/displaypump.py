@@ -90,7 +90,11 @@ class DisplayPump:
                 frame = frame[::k, ::k, :]
             except Exception:
                 pass  # non-sliceable input: transfer full
-        return np.asarray(frame)
+        # Unpadded wire layout: a (H, W, 3) u8 device fetch pays the lane
+        # padding of the minor dim 3 (5-20x the logical bytes on remote
+        # attachments); flatten on device first (engine.fetch_frame)
+        from shaderflow_tpu.engine import fetch_frame
+        return fetch_frame(frame)
 
     def _adapt(self, seconds: float, host: np.ndarray) -> None:
         """Pick the next transfer's decimation from this one's measured

@@ -30,6 +30,7 @@ import numpy as np
 
 from shaderflow_tpu import logger
 from shaderflow_tpu.engine import RenderEngine
+from shaderflow_tpu.engine import fetch_frame as engine_fetch_frame
 from shaderflow_tpu.engine import to_wire as engine_to_wire
 from shaderflow_tpu.exporting import ExportingHelper
 from shaderflow_tpu.frametimer import ShaderFrametimer
@@ -357,7 +358,7 @@ class ShaderScene(ShaderModule):
         self.next(dt=0.0)
         self.time, self.dt, self.rdt, self._frame_counter = saved
         frames = self.engine.flush(1)
-        return np.asarray(frames[0])
+        return engine_fetch_frame(frames[0])
 
     # ------------------------------------------------------------------ #
     # Main entry point (reference scene.py:493-639 flag surface)
@@ -744,14 +745,14 @@ class ShaderScene(ShaderModule):
             return
         frames = queue.pop(0)
         if getattr(self, "_window", None) is not None:
-            frame = np.asarray(frames[-1])
+            frame = engine_fetch_frame(frames[-1])
             if self.render_ui:
                 frame = self._draw_hud(frame.copy())
             self._window.show(frame)
             self._dispatch_window_events(self._window.poll())
         elif getattr(self, "_preview", None) is not None:
             cv2 = self._preview
-            frame = np.asarray(frames[-1])
+            frame = engine_fetch_frame(frames[-1])
             if self.render_ui:
                 frame = self._draw_hud(frame.copy())
             cv2.imshow(self.title, frame[..., ::-1])

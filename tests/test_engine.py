@@ -272,3 +272,86 @@ def test_frame_value_dependent_axis1_prelude_not_frozen():
     # Batch 1 frames 0-3 (mean 1.5), batch 2 frames 4-7 (mean 5.5)
     np.testing.assert_allclose(first, 1.5 / 20, atol=0.01)
     np.testing.assert_allclose(second, 5.5 / 20, atol=0.01)
+
+
+def test_u8_stream_crosses_wire_as_u8_and_matches_f32():
+    """A streamed texture written with uint8 frames ships u8 host->device
+    (engine._stream_snapshot / texture.wire_u8) and normalizes in-jit with
+    the same /255 division the host write uses — pixel values must equal
+    the f32-snapshot path exactly."""
+    def make_scene():
+        class U8Streamer(ShaderScene):
+            def build(self):
+                self.tex = ShaderTexture(scene=self, name="s", width=4,
+                                         height=2, components=3,
+                                         dtype=np.uint8)
+                self.n = 0
+                self.shader.fragment = lambda sf: ops.vec4(
+                    sf.texture("s", sf.astuv)[..., :3], 1.0)
+
+            def update(self):
+                self.n += 1
+                frame = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+                self.tex.write((frame + 7 * self.n).astype(np.uint8))
+        scene = U8Streamer()
+        scene._setup_run(width=8, height=4, fps=10, time=1.0, freewheel=True)
+        return scene
+
+    scene = make_scene()
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(3):
+        scene.next(dt=scene.frametime)
+    _, _, streams = engine.stack_captures(3)
+    assert streams["s"].dtype == np.uint8  # u8 on the wire
+    engine.begin_batch()
+    for _ in range(3):
+        scene.next(dt=scene.frametime)
+    wire = np.asarray(engine.flush(3))
+
+    # Same scene, f32 snapshots forced (the permanent-fallback path)
+    scene2 = make_scene()
+    engine2 = scene2.engine
+    engine2._stream_f32.add("s")
+    engine2.begin_batch()
+    for _ in range(3):
+        scene2.next(dt=scene2.frametime)
+    _, _, streams2 = engine2.stack_captures(3)
+    assert streams2["s"].dtype == np.float32
+    engine2.begin_batch()
+    for _ in range(3):
+        scene2.next(dt=scene2.frametime)
+    ref = np.asarray(engine2.flush(3))
+    np.testing.assert_array_equal(wire, ref)
+
+
+def test_stream_falls_back_to_f32_on_mixed_writes():
+    """A partial-viewport (or f32) write invalidates the u8 twin; already-
+    captured u8 snapshots convert in place so the stacked stream stays
+    homogeneous f32."""
+    class Mixed(ShaderScene):
+        def build(self):
+            self.tex = ShaderTexture(scene=self, name="s", width=4, height=2,
+                                     components=1, dtype=np.uint8)
+            self.n = 0
+            self.shader.fragment = lambda sf: ops.vec4(
+                sf.texture("s", sf.astuv)[..., 0], 0, 0, 1)
+
+        def update(self):
+            self.n += 1
+            if self.n < 3:
+                self.tex.write(np.full((2, 4, 1), 128, np.uint8))
+            else:  # f32 write drops the u8 twin
+                self.tex.write(np.full((2, 4, 1), 0.25, np.float32))
+
+    scene = Mixed()
+    scene._setup_run(width=8, height=4, fps=10, time=1.0, freewheel=True)
+    engine = scene.engine
+    engine.begin_batch()
+    for _ in range(4):
+        scene.next(dt=scene.frametime)
+    _, _, streams = engine.stack_captures(4)
+    assert streams["s"].dtype == np.float32
+    np.testing.assert_allclose(streams["s"][0].ravel()[0], 128 / 255)
+    np.testing.assert_allclose(streams["s"][3].ravel()[0], 0.25)
+    assert "s" in engine._stream_f32
