@@ -364,6 +364,7 @@ class ShaderProgram(ShaderModule):
     def __init__(self, scene=None, name: Optional[str] = None, **kwargs):
         self._fragment: Union[PixelFunction, str, Path, None] = None
         self._resolved: Optional[PixelFunction] = None
+        self._compiled_src: Optional[tuple] = None  # (origin, source) memo
         self._watch_path: Optional[Path] = None
         self._watch_mtime: float = 0.0
         self.texture: Optional[ShaderTexture] = None
@@ -415,18 +416,36 @@ class ShaderProgram(ShaderModule):
         try:
             if value is None:
                 self._resolved = default_fragment
+                self._compiled_src = None
             elif callable(value):
                 self._resolved = value
+                self._compiled_src = None
             elif _is_pathlike(value):
                 path = Path(value)
-                self._resolved = self._load_source(path.read_text(), str(path))
+                source = path.read_text()
+                # Unchanged source: keep the resolved callable. Compile
+                # relays fire on every run setup, and re-parsing would mint
+                # a NEW function object — the engine's build key hashes
+                # fragment identity, so a fresh parse of identical GLSL/
+                # python source forced a full retrace per export run
+                # (measured: the whole timed GLSL bench pass was one 31 s
+                # recompile). Hot reload still works: an edited file has
+                # different source text.
+                if self._compiled_src == (str(path), source):
+                    return self
+                self._resolved = self._load_source(source, str(path))
+                self._compiled_src = (str(path), source)
             elif isinstance(value, str):
+                if self._compiled_src == (self.name, value):
+                    return self
                 self._resolved = self._load_source(value, f"<{self.name}-fragment>")
+                self._compiled_src = (self.name, value)
             else:
                 raise TypeError(f"Unsupported fragment source: {type(value)}")
         except Exception as error:
             self.dump_error(error)
             self._resolved = missing_fragment
+            self._compiled_src = None
         # The scene's batched render program must be rebuilt around the new fn
         self.scene.invalidate_engine()
         return self

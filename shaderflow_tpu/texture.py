@@ -91,7 +91,8 @@ class ShaderTexture(ShaderModule):
         self._track = float(track)
         self.final = bool(final)
 
-        self.matrix: Optional[np.ndarray] = None  # (T, L, H, W, C) float32, row 0 = top
+        self._matrix: Optional[np.ndarray] = None  # (T, L, H, W, C) float32, row 0 = top
+        self._matrix_stale: bool = False  # wire_u8 is newer than _matrix
         self.version: int = 0     # bumped on every host write (device cache key)
         self.dirty: bool = False  # set by write(); engine clears after snapshot
         self.empty: bool = True
@@ -101,6 +102,22 @@ class ShaderTexture(ShaderModule):
         bytes host->device (1 byte/channel instead of 4 — 4K batch 32 drops
         3.19 GB -> 0.80 GB per flush) and normalizes to f32 inside the jit.
         Invalidated by any f32 / partial / multi-box write."""
+
+    @property
+    def matrix(self) -> Optional[np.ndarray]:
+        """The (T, L, H, W, C) float32 content. A full-box uint8 write only
+        records wire_u8 and marks the f32 matrix stale (the /255 normalize
+        of a 4K frame costs ~100 ms of host time per frame and the streamed
+        path never reads it); the first matrix READ materializes it."""
+        if self._matrix_stale:
+            self._matrix[0, 0] = self.wire_u8[0, 0].astype(np.float32) / 255.0
+            self._matrix_stale = False
+        return self._matrix
+
+    @matrix.setter
+    def matrix(self, value: Optional[np.ndarray]) -> None:
+        self._matrix = value
+        self._matrix_stale = False
         self.sequence = None      # optional DEVICE (F_total, H, W, C) per-frame content
         """Device-resident per-frame texture sequence: when set (offline
         audio paths), the render scan indexes it by the absolute frame
@@ -246,7 +263,7 @@ class ShaderTexture(ShaderModule):
         texture.py:268-270)."""
         width, height = self.resolution
         shape = (self._temporal, self._layers, height, width, self._components)
-        old = self.matrix
+        old = self._matrix  # shape check must not materialize a stale matrix
         if old is not None and old.shape == shape:
             # Same storage shape: content is preserved by definition — skip
             # the 100+ MB realloc/copy a redundant RecreateTextures relay
@@ -293,28 +310,35 @@ class ShaderTexture(ShaderModule):
         the BOTTOM. data is (h, w, c), (h, w) or anything reshapeable;
         row 0 of data is the bottom row of the region (GL write order).
         """
-        if self.matrix is None:
+        if self._matrix is None:
             self.make()
-        target = self.matrix[temporal, layer]
-        height, width = target.shape[0], target.shape[1]
+        height, width = self._matrix.shape[2], self._matrix.shape[3]
 
         if viewport is None:
             raw = np.asarray(data)
             if (raw.dtype == np.uint8 and self._temporal == 1
                     and self._layers == 1):
                 # The single box IS the whole matrix: keep the exact u8
-                # bytes (storage row order) for u8-on-the-wire streaming
+                # bytes (storage row order) for u8-on-the-wire streaming and
+                # DEFER the f32 normalize (the matrix property materializes
+                # on first read — streamed textures never pay it per frame)
                 self.wire_u8 = np.ascontiguousarray(
                     raw.reshape(height, width, self._components)[::-1]
                 )[None, None]
+                self._matrix_stale = True
             else:
                 self.wire_u8 = None
-            data = self._normalize(raw).reshape(height, width, self._components)
-            # GL write order: data row 0 is the BOTTOM row (v=0); our storage
-            # is top-down, so flip. from_numpy pre-flips so images stay
-            # top-down (texture.py:327-335 flipud parity).
-            target[...] = data[::-1]
+                data = self._normalize(raw).reshape(
+                    height, width, self._components)
+                # GL write order: data row 0 is the BOTTOM row (v=0); our
+                # storage is top-down, so flip. from_numpy pre-flips so
+                # images stay top-down (texture.py:327-335 flipud parity).
+                self._matrix_stale = False
+                self._matrix[temporal, layer] = data[::-1]
         else:
+            # Partial write overlays the CURRENT content: the property read
+            # materializes a stale u8 frame first
+            target = self.matrix[temporal, layer]
             self.wire_u8 = None
             x, y, w, h = viewport
             data = self._normalize(data).reshape(h, w, self._components)
